@@ -1,0 +1,179 @@
+"""Tests for the ETKF analysis core.
+
+Oracle values are the hand-computed matrices of the reference's core tests
+(/root/reference/tests/unit_tests/core/test_etkf.py:142-200): a 2-member
+ensemble with obs-space values (0.5, -0.5), one obs y=0.2, obs var 0.5.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_assim.ops.etkf import (
+    etkf_weights,
+    etkf_weights_from_gram,
+    etkf_prior_weights,
+    letkf_weights_dense,
+)
+from tpu_assim.ops.linalg import evd, rev_evd, matrix_product
+
+
+@pytest.fixture
+def hand_case():
+    obs_cinv = 1.0 / np.sqrt(0.5)
+    normed_perts = jnp.asarray(np.array([[0.5], [-0.5]]) * obs_cinv)
+    normed_obs = jnp.asarray(np.array([[0.2]]) * obs_cinv)
+    return normed_perts, normed_obs
+
+
+def test_analysed_cov(hand_case):
+    # reference: test_etkf.py:142-158 expects [[.75,.25],[.25,.75]]
+    perts, _ = hand_case
+    evals, evects, evals_inv = evd(matrix_product(perts, perts), 1.0)
+    cov = rev_evd(evals_inv, evects)
+    np.testing.assert_allclose(
+        np.asarray(cov), [[0.75, 0.25], [0.25, 0.75]], atol=1e-10
+    )
+
+
+def test_w_mean(hand_case):
+    # reference: test_etkf.py:185-191 expects gain 0.5*0.2 -> [0.1, -0.1]
+    perts, obs = hand_case
+    w_mean, _, _ = etkf_weights_from_gram(
+        matrix_product(perts, perts), matrix_product(perts, obs), 2, 1.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_mean).ravel(), [0.1, -0.1], atol=1e-10
+    )
+
+
+def test_w_perts_square_is_cov(hand_case):
+    # reference: test_etkf.py:193-204
+    perts, obs = hand_case
+    _, w_perts, _ = etkf_weights_from_gram(
+        matrix_product(perts, perts), matrix_product(perts, obs), 2, 1.0
+    )
+    wp = np.asarray(w_perts)
+    np.testing.assert_allclose(wp @ wp.T, [[0.75, 0.25], [0.25, 0.75]],
+                               atol=1e-10)
+
+
+def test_weights_sum(hand_case):
+    perts, obs = hand_case
+    w = etkf_weights(perts, obs, 1.0)
+    w_mean, w_perts, _ = etkf_weights_from_gram(
+        matrix_product(perts, perts), matrix_product(perts, obs), 2, 1.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(w), np.asarray(w_mean) + np.asarray(w_perts), atol=1e-12
+    )
+
+
+def test_empty_obs_returns_inflated_prior():
+    # reference: core/etkf.py:91-95
+    perts = jnp.zeros((4, 0))
+    obs = jnp.zeros((1, 0))
+    w = etkf_weights(perts, obs, 1.2)
+    np.testing.assert_allclose(
+        np.asarray(w), np.sqrt(1.2) * np.eye(4), atol=1e-12
+    )
+
+
+def test_inflation_enters_as_regularizer(hand_case, rng):
+    # reg = (K-1)/rho (reference: core/etkf.py:67)
+    k, l = 5, 7
+    perts = jnp.asarray(rng.randn(k, l))
+    obs = jnp.asarray(rng.randn(1, l))
+    rho = 1.3
+    w = etkf_weights(perts, obs, rho)
+    # manual numpy oracle
+    z = np.asarray(perts)
+    y = np.asarray(obs)
+    g = z @ z.T
+    evals, evects = np.linalg.eigh(g)
+    evals = np.clip(evals, 0, None) + (k - 1) / rho
+    cov = evects @ np.diag(1 / evals) @ evects.T
+    w_mean = cov @ (z @ y.T)
+    w_perts = evects @ np.diag(np.sqrt((k - 1) / evals)) @ evects.T
+    np.testing.assert_allclose(np.asarray(w), w_mean + w_perts, atol=1e-10)
+
+
+def test_1d_obs_broadcast(hand_case):
+    perts, obs = hand_case
+    w2d = etkf_weights(perts, obs, 1.0)
+    w1d = etkf_weights(perts, obs.ravel(), 1.0)
+    np.testing.assert_allclose(np.asarray(w2d), np.asarray(w1d), atol=1e-14)
+
+
+def test_jit_and_grad(hand_case):
+    # differentiability through the solve (reference tests backprop through
+    # inf_factor and perts: test_etkf.py:121-126, 135-141)
+    perts, obs = hand_case
+
+    def loss(p, o, rho):
+        return jnp.mean(etkf_weights(p, o, rho))
+
+    g = jax.grad(loss, argnums=(0, 2))(perts, obs, 1.0)
+    assert np.all(np.isfinite(np.asarray(g[0])))
+    assert np.isfinite(float(g[1]))
+    w_jit = jax.jit(etkf_weights)(perts, obs, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(w_jit), np.asarray(etkf_weights(perts, obs, 1.0)),
+        atol=1e-12,
+    )
+
+
+class TestLETKFDense:
+    def test_unit_weights_equal_etkf(self, rng):
+        # zero-padding equivalence: all-ones localization == global ETKF
+        k, l, g = 6, 9, 4
+        perts = jnp.asarray(rng.randn(k, l))
+        obs = jnp.asarray(rng.randn(l))
+        w_etkf = etkf_weights(perts, obs[None, :], 1.1)
+        w_letkf = letkf_weights_dense(perts, obs, jnp.ones((g, l)), 1.1)
+        for i in range(g):
+            np.testing.assert_allclose(
+                np.asarray(w_letkf[i]), np.asarray(w_etkf), atol=1e-10
+            )
+
+    def test_masked_equals_subset(self, rng):
+        # zero-weight obs are exactly equivalent to removing them
+        # (reference ragged path: interface/wrapper.py:86-99)
+        k, l = 5, 8
+        perts = rng.randn(k, l)
+        obs = rng.randn(l)
+        weights = rng.rand(l)
+        weights[[1, 4, 6]] = 0.0
+        keep = weights > 0
+        # dense masked solve
+        w_dense = letkf_weights_dense(
+            jnp.asarray(perts), jnp.asarray(obs),
+            jnp.asarray(weights)[None, :], 1.0,
+        )[0]
+        # explicit subset solve with sqrt-scaling (the reference's way)
+        sw = np.sqrt(weights[keep])
+        sub_perts = jnp.asarray(perts[:, keep] * sw)
+        sub_obs = jnp.asarray((obs[keep] * sw)[None, :])
+        w_sub = etkf_weights(sub_perts, sub_obs, 1.0)
+        np.testing.assert_allclose(np.asarray(w_dense), np.asarray(w_sub),
+                                   atol=1e-10)
+
+    def test_all_zero_weights_give_prior(self):
+        k, l = 4, 6
+        perts = jnp.asarray(np.random.RandomState(0).randn(k, l))
+        obs = jnp.zeros(l)
+        w = letkf_weights_dense(perts, obs, jnp.zeros((2, l)), 1.1)
+        np.testing.assert_allclose(
+            np.asarray(w[0]), np.sqrt(1.1) * np.eye(k), atol=1e-12
+        )
+
+    def test_batched_shape(self, rng):
+        k, l, g = 3, 5, 11
+        w = letkf_weights_dense(
+            jnp.asarray(rng.randn(k, l)),
+            jnp.asarray(rng.randn(l)),
+            jnp.asarray(rng.rand(g, l)),
+            1.0,
+        )
+        assert w.shape == (g, k, k)

@@ -1,0 +1,144 @@
+"""
+Batched linear-algebra helpers for the analysis cores.
+
+Functional JAX equivalents of the reference's torch helpers
+(/root/reference/pytassim/core/utils.py:26-199), generalized to arbitrary
+leading batch dimensions so that millions of per-gridpoint K x K solves run as
+one batched XLA op on the MXU instead of a Python loop.
+
+All recompositions are einsums so XLA can fuse scaling into the matmuls.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "evd",
+    "rev_evd",
+    "svd",
+    "rev_svd",
+    "matrix_product",
+    "diagonal_add",
+    "eigh_psd",
+    "inv_sqrt_psd_newton",
+]
+
+
+def evd(
+    tensor: jnp.ndarray, reg_value: jnp.ndarray | float = 0.0
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Eigendecomposition of a symmetric PSD tensor with regularization.
+
+    Mirrors the reference semantics (pytassim/core/utils.py:26-61): the
+    eigenvalues of the nearest positive semidefinite matrix are used
+    (clamp at 0), then ``reg_value`` is added and inverted eigenvalues are
+    returned alongside.
+
+    Parameters
+    ----------
+    tensor : [..., n, n] symmetric tensor.
+    reg_value : scalar added to the (clamped) eigenvalues.
+
+    Returns
+    -------
+    evals, evects, evals_inv : ([..., n], [..., n, n], [..., n])
+    """
+    evals, evects = eigh_psd(tensor)
+    evals = jnp.clip(evals, 0.0, None)
+    evals = evals + reg_value
+    evals_inv = 1.0 / evals
+    return evals, evects, evals_inv
+
+
+def rev_evd(evals: jnp.ndarray, evects: jnp.ndarray) -> jnp.ndarray:
+    """Recompose ``U diag(evals) U^T`` (pytassim/core/utils.py:64-93)."""
+    return jnp.einsum("...ik,...k,...jk->...ij", evects, evals, evects)
+
+
+def svd(
+    tensor: jnp.ndarray, reg_value: jnp.ndarray | float = 0.0
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Reduced SVD with additive regularization of the singular values.
+
+    Matches torch.svd conventions used by the reference
+    (pytassim/core/utils.py:96-124): returns ``v`` (not ``v^T``) such that
+    ``tensor = u diag(s) v^T``.
+    """
+    u, s, vh = jnp.linalg.svd(tensor, full_matrices=False)
+    s = s + reg_value
+    v = jnp.swapaxes(vh, -1, -2)
+    return u, s, v
+
+
+def rev_svd(u: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Recompose ``u diag(s) v^T`` (pytassim/core/utils.py:127-150)."""
+    return jnp.einsum("...ik,...k,...jk->...ij", u, s, v)
+
+
+def matrix_product(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """``x @ y^T`` over the trailing two dims (pytassim/core/utils.py:153-173)."""
+    return jnp.einsum("...kl,...ml->...km", x, y)
+
+
+def diagonal_add(tensor: jnp.ndarray, to_add: jnp.ndarray | float = 0.0) -> jnp.ndarray:
+    """Add a scalar to the diagonal of the trailing two dims
+    (pytassim/core/utils.py:176-199)."""
+    n = tensor.shape[-1]
+    eye = jnp.eye(n, dtype=tensor.dtype)
+    return tensor + to_add * eye
+
+
+def eigh_psd(tensor: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched symmetric eigendecomposition.
+
+    Thin wrapper around :func:`jnp.linalg.eigh` (lower triangle, ascending
+    eigenvalues — the same convention as the reference's
+    ``torch.symeig(..., upper=False)``, pytassim/core/utils.py:57).
+    Centralized here so the batched Pallas Jacobi kernel can be swapped in
+    for the [B, K, K] hot path without touching callers.
+    """
+    return jnp.linalg.eigh(tensor)
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def inv_sqrt_psd_newton(
+    a: jnp.ndarray, num_iters: int = 14
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Matmul-only inverse and inverse-square-root of a batched SPD matrix.
+
+    Coupled Denman–Beavers/Newton–Schulz iteration: for SPD ``A`` scaled to
+    spectral radius < 2, iterate ``Y <- Y (3I - Z Y)/2``, ``Z <- (3I - Z Y)/2 Z``
+    which converges to ``Y = A^{-1/2}``, ``Z = A^{1/2}`` (up to the scale
+    factor). Every step is a batched K x K matmul, i.e. pure MXU work — the
+    fast alternative to eigendecomposition for the LETKF hot path. Exposed as
+    an opt-in solver; the default path uses :func:`evd` for exact parity with
+    the reference math.
+
+    Returns ``(a_inv, a_inv_sqrt)``.
+    """
+    k = a.shape[-1]
+    eye = jnp.eye(k, dtype=a.dtype)
+    # Normalize so eigenvalues lie in (0, 1]: divide by an upper bound of the
+    # spectral radius (row-sum / infinity norm, cheap and batched).
+    norm = jnp.max(jnp.sum(jnp.abs(a), axis=-1), axis=-1)[..., None, None]
+    norm = jnp.maximum(norm, jnp.finfo(a.dtype).tiny)
+    a_n = a / norm
+
+    def body(_, yz):
+        y, z = yz
+        t = 0.5 * (3.0 * eye - jnp.einsum("...ij,...jk->...ik", z, y))
+        y = jnp.einsum("...ij,...jk->...ik", y, t)
+        z = jnp.einsum("...ij,...jk->...ik", t, z)
+        return y, z
+
+    y0 = a_n
+    z0 = jnp.broadcast_to(eye, a.shape)
+    y, z = jax.lax.fori_loop(0, num_iters, body, (y0, z0))
+    # y -> a_n^{1/2}, z -> a_n^{-1/2}
+    sqrt_norm = jnp.sqrt(norm)
+    a_inv_sqrt = z / sqrt_norm
+    a_inv = jnp.einsum("...ij,...jk->...ik", a_inv_sqrt, a_inv_sqrt)
+    return a_inv, a_inv_sqrt
