@@ -1,0 +1,327 @@
+"""Interface-layer tests mirroring the reference's algorithm-equivalence
+oracles (/root/reference/tests/unit_tests/interface/):
+
+* LETKF == ETKF when localization is None (test_letkf.py:64-70)
+* LETKF == ETKF under all-weights-one localization (test_letkf.py:95-104)
+* KETKF(linear kernel) == ETKF (test_ketkf.py)
+* IEnKS(1 iter, identity model) == ETKF (test_ienks.py:215-238)
+* chunked == unchunked grid processing (the dask-parity analog,
+  test_etkf.py:109)
+* weight checkpoint roundtrip (test_letkf.py:173-197)
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_assim import (
+    EnsembleState,
+    Observation,
+    ETKF,
+    LETKF,
+    KETKF,
+    LKETKF,
+    IEnKSTransform,
+    IEnKSBundle,
+    LocalizedIEnKSTransform,
+    LocalizedIEnKSBundle,
+)
+from tpu_assim.ops.kernels import LinearKernel, GaussKernel
+from tpu_assim.ops.localization import GaspariCohn
+from tpu_assim.testing import dummy_obs_operator, dummy_model, dummy_distance
+
+
+def make_state(rng, n_var=2, n_time=3, n_ens=10, n_grid=40):
+    data = rng.randn(n_var, n_time, n_ens, n_grid)
+    return EnsembleState(
+        jnp.asarray(data),
+        times=jnp.arange(n_time, dtype=jnp.float64),
+        grid_coords=jnp.arange(n_grid, dtype=jnp.float64)[:, None],
+        var_names=("x", "y")[:n_var],
+    )
+
+
+def make_obs(rng, state, noise=0.5):
+    # observation = ens-mean of var x + N(0, 0.5) noise, diag cov 0.5 — the
+    # reference's fixture recipe (tests/data/create_test_data.py:20-96)
+    truth = np.asarray(state.data[0].mean(axis=1))  # [time, grid]
+    obs_vals = truth + rng.normal(scale=np.sqrt(noise), size=truth.shape)
+    return Observation(
+        jnp.asarray(obs_vals),
+        covariance=jnp.full((state.n_grid,), noise),
+        obs_coords=state.grid_coords,
+        times=state.times,
+        operator=dummy_obs_operator(),
+    )
+
+
+@pytest.fixture
+def state(rng):
+    return make_state(rng)
+
+
+@pytest.fixture
+def obs(rng, state):
+    return make_obs(rng, state)
+
+
+def assert_states_close(a, b, atol=1e-10):
+    np.testing.assert_allclose(
+        np.asarray(a.data), np.asarray(b.data), atol=atol, rtol=1e-10
+    )
+
+
+class TestETKF:
+    def test_assimilate_returns_valid_state(self, state, obs):
+        analysis = ETKF(inf_factor=1.1).assimilate(state, obs)
+        assert analysis.valid
+        # filtering mode: analysis at last time only
+        assert analysis.n_times == 1
+        assert float(analysis.times[0]) == float(state.times[-1])
+
+    def test_smoother_keeps_time_window(self, state, obs):
+        analysis = ETKF(inf_factor=1.1, smoother=True).assimilate(state, obs)
+        assert analysis.n_times == state.n_times
+
+    def test_no_obs_returns_background(self, state):
+        with pytest.warns(UserWarning):
+            analysis = ETKF().assimilate(state, [])
+        assert analysis is state
+
+    def test_analysis_reduces_spread(self, state, obs):
+        analysis = ETKF().assimilate(state, obs)
+        prior_spread = float(np.asarray(state.data[:, -1:]).std(axis=2).mean())
+        post_spread = float(np.asarray(analysis.data).std(axis=2).mean())
+        assert post_spread < prior_spread
+
+    def test_weight_checkpoint_roundtrip(self, state, obs, tmp_path):
+        path = str(tmp_path / "weights.h5")
+        direct = ETKF(inf_factor=1.1).assimilate(state, obs)
+        via_ckpt = ETKF(inf_factor=1.1, weight_save_path=path).assimilate(
+            state, obs
+        )
+        assert_states_close(direct, via_ckpt)
+
+
+class TestLETKFEquivalences:
+    def test_letkf_none_localization_equals_etkf(self, state, obs):
+        etkf_ana = ETKF(inf_factor=1.1).assimilate(state, obs)
+        letkf_ana = LETKF(localization=None, inf_factor=1.1).assimilate(
+            state, obs
+        )
+        assert_states_close(etkf_ana, letkf_ana)
+
+    def test_letkf_wide_gc_equals_etkf(self, state, obs):
+        # radius so large every obs has weight ~1 is NOT equal (taper < 1);
+        # instead use a localization whose weights are exactly one:
+        class UnitLoc(GaspariCohn):
+            def localize_obs(self, grid_coord, obs_coords):
+                w = jnp.ones(obs_coords.shape[0])
+                return w > 0, w
+
+        loc = UnitLoc(1.0, dummy_distance)
+        etkf_ana = ETKF(inf_factor=1.1).assimilate(state, obs)
+        letkf_ana = LETKF(localization=loc, inf_factor=1.1).assimilate(
+            state, obs
+        )
+        assert_states_close(etkf_ana, letkf_ana)
+
+    def test_chunked_equals_unchunked(self, state, obs):
+        loc = GaspariCohn((10.0,), dummy_distance)
+        full = LETKF(localization=loc, chunksize=None).assimilate(state, obs)
+        chunked = LETKF(localization=loc, chunksize=7).assimilate(state, obs)
+        assert_states_close(full, chunked)
+
+    def test_localization_changes_analysis(self, state, obs):
+        loc = GaspariCohn((5.0,), dummy_distance)
+        letkf_ana = LETKF(localization=loc).assimilate(state, obs)
+        etkf_ana = ETKF().assimilate(state, obs)
+        assert not np.allclose(
+            np.asarray(letkf_ana.data), np.asarray(etkf_ana.data)
+        )
+
+    def test_manual_per_gridpoint_loop(self, rng):
+        # the reference's strongest LETKF oracle: a manual per-gridpoint
+        # masked solve reproduces assimilate() (test_letkf.py:106-157)
+        from tpu_assim.ops.etkf import etkf_weights
+
+        state = make_state(rng, n_time=1, n_ens=5, n_grid=12)
+        obs = make_obs(rng, state)
+        loc = GaspariCohn((3.0,), dummy_distance)
+        analysis = LETKF(localization=loc, inf_factor=1.05).assimilate(
+            state, obs
+        )
+
+        mean = np.asarray(state.data).mean(axis=2, keepdims=True)
+        perts = np.asarray(state.data) - mean
+        obs_vals = np.asarray(obs.observations)
+        rcinv = 1 / np.sqrt(np.asarray(obs.covariance))
+        ens_obs = np.asarray(state.data[0])  # identity operator on var x
+        innov = (obs_vals - ens_obs.mean(axis=1)) * rcinv  # [time, obs]
+        ens_perts = (ens_obs - ens_obs.mean(axis=1, keepdims=True)) * rcinv
+        obs_info = np.asarray(obs.stacked_coords())
+        grid_info = np.asarray(state.grid_info())
+        for g in range(state.n_grid):
+            use, w = loc.localize_obs(
+                jnp.asarray(grid_info[g]), jnp.asarray(obs_info)
+            )
+            use = np.asarray(use)
+            w = np.asarray(w)[use]
+            sub_perts = ens_perts[0]  # [ens, obs]
+            z = jnp.asarray(sub_perts[:, use] * np.sqrt(w))
+            y = jnp.asarray((innov[0][use] * np.sqrt(w))[None, :])
+            w_g = np.asarray(etkf_weights(z, y, 1.05))
+            expected = mean[:, :, :, g] + np.einsum(
+                "vtk,km->vtm", perts[:, :, :, g], w_g
+            )
+            np.testing.assert_allclose(
+                np.asarray(analysis.data[:, :, :, g]), expected, atol=1e-9
+            )
+
+
+class TestKETKF:
+    def test_linear_kernel_equals_etkf(self, state, obs):
+        etkf_ana = ETKF(inf_factor=1.1).assimilate(state, obs)
+        ketkf_ana = KETKF(kernel=LinearKernel(), inf_factor=1.1).assimilate(
+            state, obs
+        )
+        assert_states_close(etkf_ana, ketkf_ana)
+
+    def test_gauss_kernel_differs(self, state, obs):
+        etkf_ana = ETKF().assimilate(state, obs)
+        ketkf_ana = KETKF(kernel=GaussKernel(10.0)).assimilate(state, obs)
+        assert not np.allclose(
+            np.asarray(etkf_ana.data), np.asarray(ketkf_ana.data)
+        )
+
+    def test_lketkf_linear_equals_letkf(self, state, obs):
+        loc = GaspariCohn((8.0,), dummy_distance)
+        letkf_ana = LETKF(localization=loc, inf_factor=1.1).assimilate(
+            state, obs
+        )
+        lketkf_ana = LKETKF(
+            localization=loc, kernel=LinearKernel(), inf_factor=1.1
+        ).assimilate(state, obs)
+        assert_states_close(letkf_ana, lketkf_ana)
+
+    def test_lketkf_chunked_equals_unchunked(self, state, obs):
+        loc = GaspariCohn((8.0,), dummy_distance)
+        full = LKETKF(
+            localization=loc, kernel=GaussKernel(2.0), chunksize=None
+        ).assimilate(state, obs)
+        chunked = LKETKF(
+            localization=loc, kernel=GaussKernel(2.0), chunksize=11
+        ).assimilate(state, obs)
+        assert_states_close(full, chunked)
+
+
+@pytest.fixture
+def single_obs(rng, state):
+    """Observations at the analysis (last) time only — the IEnKS outer loop
+    propagates a single-analysis-time state, so the identity forward model
+    only aligns with single-time obs (the reference instead uses full-window
+    forward models, test_ienks.py:72)."""
+    obs = make_obs(rng, state)
+    return obs.sel_time(float(state.times[-1]))
+
+
+class TestIEnKS:
+    def test_one_iter_identity_model_equals_etkf(self, state, single_obs):
+        # reference: IEnKS with linear (identity) model and max_iter=1
+        # equals ETKF (test_ienks.py:215-238)
+        etkf_ana = ETKF(inf_factor=1.0, smoother=False).assimilate(
+            state, single_obs
+        )
+        ienks_ana = IEnKSTransform(
+            forward_model=dummy_model, tau=1.0, max_iter=1
+        ).assimilate(state, single_obs)
+        assert_states_close(etkf_ana, ienks_ana, atol=1e-8)
+
+    def test_bundle_one_iter_close_to_etkf(self, state, single_obs):
+        etkf_ana = ETKF(inf_factor=1.0).assimilate(state, single_obs)
+        ienks_ana = IEnKSBundle(
+            forward_model=dummy_model, tau=1.0, epsilon=1e-5, max_iter=1
+        ).assimilate(state, single_obs)
+        # bundle uses finite differences: close but not exact
+        np.testing.assert_allclose(
+            np.asarray(ienks_ana.data), np.asarray(etkf_ana.data), atol=1e-3
+        )
+
+    def test_more_iterations_converge(self, state, single_obs):
+        a1 = IEnKSTransform(
+            forward_model=dummy_model, tau=0.7, max_iter=8
+        ).assimilate(state, single_obs)
+        a2 = IEnKSTransform(
+            forward_model=dummy_model, tau=0.7, max_iter=9
+        ).assimilate(state, single_obs)
+        np.testing.assert_allclose(
+            np.asarray(a1.data), np.asarray(a2.data), atol=1e-4
+        )
+
+    def test_tau_bounds(self):
+        with pytest.raises(ValueError):
+            IEnKSTransform(forward_model=dummy_model, tau=1.5)
+        with pytest.raises(ValueError):
+            IEnKSTransform(forward_model=dummy_model, tau=-0.1)
+        with pytest.raises(ValueError):
+            IEnKSBundle(forward_model=dummy_model, epsilon=-1e-3)
+
+    def test_localized_one_iter_equals_letkf(self, state, single_obs):
+        loc = GaspariCohn((6.0,), dummy_distance)
+        letkf_ana = LETKF(localization=loc, inf_factor=1.0).assimilate(
+            state, single_obs
+        )
+        lienks_ana = LocalizedIEnKSTransform(
+            forward_model=dummy_model, localization=loc, tau=1.0, max_iter=1
+        ).assimilate(state, single_obs)
+        assert_states_close(letkf_ana, lienks_ana, atol=1e-8)
+
+    def test_localized_chunked_equals_unchunked(self, state, single_obs):
+        loc = GaspariCohn((6.0,), dummy_distance)
+        full = LocalizedIEnKSTransform(
+            forward_model=dummy_model, localization=loc, max_iter=2,
+            chunksize=None,
+        ).assimilate(state, single_obs)
+        chunked = LocalizedIEnKSTransform(
+            forward_model=dummy_model, localization=loc, max_iter=2,
+            chunksize=13,
+        ).assimilate(state, single_obs)
+        assert_states_close(full, chunked)
+
+    def test_localized_bundle_runs(self, state, single_obs):
+        loc = GaspariCohn((6.0,), dummy_distance)
+        ana = LocalizedIEnKSBundle(
+            forward_model=dummy_model, localization=loc, max_iter=2
+        ).assimilate(state, single_obs)
+        assert ana.valid
+
+
+class TestTransforms:
+    def test_multiplicative_inflation_pre(self, state, obs):
+        from tpu_assim.transform import MultiplicativeInflation
+
+        trans = MultiplicativeInflation(inf_factor=4.0)
+        inflated, _, _ = trans.pre(state, [obs])
+        # perturbations doubled, mean unchanged
+        np.testing.assert_allclose(
+            np.asarray(inflated.data.mean(axis=2)),
+            np.asarray(state.data.mean(axis=2)),
+            atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(inflated.data.std(axis=2)),
+            2 * np.asarray(state.data.std(axis=2)),
+            atol=1e-10,
+        )
+
+    def test_normalizer_roundtrip(self, state, obs):
+        from tpu_assim.transform import Normalizer
+
+        trans = Normalizer(
+            ens_stat=(2.0, 3.0), obs_stat=[(0.0, 1.0)], fg_stat=(0.0, 1.0)
+        )
+        normed, obs_list, _ = trans.pre(state, [obs])
+        restored = trans.post(normed, state, obs_list)
+        np.testing.assert_allclose(
+            np.asarray(restored.data), np.asarray(state.data), atol=1e-10
+        )

@@ -1,0 +1,125 @@
+"""
+Localized ETKF (LETKF).
+
+TPU-native rebuild of /root/reference/pytassim/interface/letkf.py:34-148
+(Hunt et al. 2007): an independent ETKF solve per grid column with
+spatially-localized observations.
+
+The reference's hot loop is ``xr.apply_ufunc(..., vectorize=True,
+dask='parallelized')`` — a Python-rate ``np.vectorize`` loop over grid points
+inside each dask chunk (letkf.py:127-143), with ragged per-column obs subsets.
+Here the whole grid runs as one (grid-chunked) batched computation: the
+Gaspari-Cohn taper is evaluated for all (column, obs) pairs, and the per-column
+solves become two large einsums + one batched K x K eigendecomposition on the
+MXU (:func:`tpu_assim.ops.etkf.letkf_weights_dense`). Zero-weight observations
+contribute exactly nothing to the Gram products, so the fixed-size weighted
+formulation is numerically identical to the reference's ragged masking
+(wrapper.py:86-99).
+"""
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_assim.interface.etkf import ETKF
+from tpu_assim.interface.mixin_local import DomainLocalizedMixin, map_grid_chunked
+from tpu_assim.observation import Observation
+from tpu_assim.ops.etkf import letkf_weights_dense
+from tpu_assim.state import EnsembleState
+
+__all__ = ["LETKF"]
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _letkf_solve(
+    localization, chunksize, ens_obs_perts, innovations, grid_info, obs_info,
+    inf_factor,
+):
+    """Jitted localized solve; localization and chunksize are static config
+    (hashable by identity), arrays are traced."""
+
+    def chunk_fn(grid_chunk):
+        if localization is None:
+            w_loc = jnp.ones(
+                (grid_chunk.shape[0], obs_info.shape[0]),
+                dtype=ens_obs_perts.dtype,
+            )
+        else:
+            w_loc = localization.taper_weights(grid_chunk, obs_info).astype(
+                ens_obs_perts.dtype
+            )
+        return letkf_weights_dense(
+            ens_obs_perts, innovations, w_loc, inf_factor
+        )
+
+    return map_grid_chunked(chunk_fn, grid_info, chunksize)
+
+
+class LETKF(DomainLocalizedMixin, ETKF):
+    """Localized ensemble transform Kalman filter
+    (reference: interface/letkf.py:34).
+
+    Parameters
+    ----------
+    localization : :class:`~tpu_assim.ops.localization.BaseLocalization` or
+        None (None = per-gridpoint ETKF without localization).
+    inf_factor : multiplicative inflation rho.
+    chunksize : grid columns per processing chunk (HBM bound); None = whole
+        grid at once. The reference's dask ``chunksize`` analog
+        (letkf.py:80,121).
+    """
+
+    def __init__(
+        self,
+        localization=None,
+        inf_factor: float = 1.0,
+        smoother: bool = False,
+        pre_transform=None,
+        post_transform=None,
+        chunksize: Optional[int] = 8192,
+        weight_save_path: Optional[str] = None,
+        forward_model=None,
+    ):
+        super().__init__(
+            inf_factor=inf_factor,
+            smoother=smoother,
+            pre_transform=pre_transform,
+            post_transform=post_transform,
+            weight_save_path=weight_save_path,
+            forward_model=forward_model,
+        )
+        self.localization = localization
+        self.chunksize = chunksize
+
+    def __str__(self):
+        return "Localized ETKF(inf_factor={0}, loc={1})".format(
+            self.inf_factor, str(self.localization)
+        )
+
+    def __repr__(self):
+        return "LETKF({0},{1})".format(
+            repr(self.inf_factor), repr(self.localization)
+        )
+
+    def estimate_weights(
+        self,
+        state: EnsembleState,
+        filtered_obs: List[Observation],
+        ens_obs: List[jnp.ndarray],
+    ) -> jnp.ndarray:
+        """(reference: interface/letkf.py:104-148)"""
+        innovations, ens_obs_perts, obs_info = self._get_obs_space_variables(
+            ens_obs, filtered_obs
+        )
+        grid_info = state.grid_info()
+        return _letkf_solve(
+            self.localization,
+            self.chunksize,
+            ens_obs_perts,
+            innovations,
+            grid_info,
+            obs_info,
+            jnp.asarray(self.inf_factor, dtype=ens_obs_perts.dtype),
+        )

@@ -1,0 +1,113 @@
+"""
+Localized kernelized ETKF (LKETKF).
+
+TPU-native rebuild of /root/reference/pytassim/interface/lketkf.py:34-116:
+the per-gridpoint kernelized solve. The reference reuses the LETKF
+per-gridpoint Python loop with the bridged KETKF module and sqrt-weight
+scaling of the localized inputs (wrapper.py:86-99); here each grid chunk
+scales the shared obs-space inputs by ``sqrt(w)`` per column and evaluates
+the kernelized solve batched over columns.
+
+Exactness note: for every built-in kernel except :class:`ModuleKernel`, the
+kernel value depends on its inputs only through dot products or pairwise
+distances, so zero-scaled (masked-out) observation components contribute
+exactly nothing — the fixed-size formulation equals the reference's ragged
+subsets. A :class:`ModuleKernel` with a nonlinear feature map sees the padded
+zeros; use a mask-aware feature map there.
+"""
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_assim.interface.ketkf import KETKF
+from tpu_assim.interface.mixin_local import DomainLocalizedMixin, map_grid_chunked
+from tpu_assim.observation import Observation
+from tpu_assim.ops.ketkf import ketkf_weights
+from tpu_assim.state import EnsembleState
+
+__all__ = ["LKETKF"]
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _lketkf_solve(
+    localization, chunksize, kernel, ens_obs_perts, innovations, grid_info,
+    obs_info, inf_factor,
+):
+    def chunk_fn(grid_chunk):
+        if localization is None:
+            w_loc = jnp.ones(
+                (grid_chunk.shape[0], obs_info.shape[0]),
+                dtype=ens_obs_perts.dtype,
+            )
+        else:
+            w_loc = localization.taper_weights(grid_chunk, obs_info).astype(
+                ens_obs_perts.dtype
+            )
+        sqrt_w = jnp.sqrt(w_loc)  # [c, l]
+        scaled_perts = ens_obs_perts[None, :, :] * sqrt_w[:, None, :]
+        scaled_obs = (innovations[None, :] * sqrt_w)[:, None, :]
+        return ketkf_weights(scaled_perts, scaled_obs, kernel, inf_factor)
+
+    return map_grid_chunked(chunk_fn, grid_info, chunksize)
+
+
+class LKETKF(DomainLocalizedMixin, KETKF):
+    """Localized kernelized ETKF (reference: interface/lketkf.py:34)."""
+
+    def __init__(
+        self,
+        localization=None,
+        kernel=None,
+        inf_factor: float = 1.0,
+        smoother: bool = False,
+        pre_transform=None,
+        post_transform=None,
+        chunksize: Optional[int] = 4096,
+        weight_save_path: Optional[str] = None,
+        forward_model=None,
+    ):
+        super().__init__(
+            kernel=kernel,
+            inf_factor=inf_factor,
+            smoother=smoother,
+            pre_transform=pre_transform,
+            post_transform=post_transform,
+            weight_save_path=weight_save_path,
+            forward_model=forward_model,
+        )
+        self.localization = localization
+        self.chunksize = chunksize
+
+    def __str__(self):
+        return "Localized KETKF(inf_factor={0}, loc={1}, kernel={2})".format(
+            self.inf_factor, str(self.localization), str(self.kernel)
+        )
+
+    def __repr__(self):
+        return "LKETKF({0},{1},{2})".format(
+            repr(self.inf_factor), repr(self.localization), repr(self.kernel)
+        )
+
+    def estimate_weights(
+        self,
+        state: EnsembleState,
+        filtered_obs: List[Observation],
+        ens_obs: List[jnp.ndarray],
+    ) -> jnp.ndarray:
+        innovations, ens_obs_perts, obs_info = self._get_obs_space_variables(
+            ens_obs, filtered_obs
+        )
+        grid_info = state.grid_info()
+        return _lketkf_solve(
+            self.localization,
+            self.chunksize,
+            self.kernel,
+            ens_obs_perts,
+            innovations,
+            grid_info,
+            obs_info,
+            jnp.asarray(self.inf_factor, dtype=ens_obs_perts.dtype),
+        )

@@ -198,6 +198,28 @@ class Observation:
             self.n_times, self.n_obs, self.correlated
         )
 
+    # ---------------------------------------------------------- time slicing
+    def sel_time(self, time_value: float) -> "Observation":
+        """Host-side exact time selection, the analog of
+        ``obs.sel(time=[analysis_time])`` in the reference's filtering mode
+        (interface/filter.py:48-52). Raises ``KeyError`` when the time is not
+        present, as xarray ``sel`` would."""
+        times = np.asarray(self.times)
+        idx = np.nonzero(times == float(time_value))[0]
+        if idx.size == 0:
+            raise KeyError(
+                "time {0} not found in observation times".format(time_value)
+            )
+        idx = np.sort(idx)
+        covariance = self.covariance
+        if self.time_dependent_cov:
+            covariance = jnp.take(covariance, jnp.asarray(idx), axis=0)
+        return self.replace(
+            observations=jnp.take(self.observations, jnp.asarray(idx), axis=0),
+            covariance=covariance,
+            times=jnp.take(self.times, jnp.asarray(idx), axis=0),
+        )
+
     # ------------------------------------------------------------ obs stacking
     def stacked_coords(self) -> jnp.ndarray:
         """Coordinates of the flattened ``obs_id = (time, obs)`` dimension,
