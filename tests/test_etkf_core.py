@@ -177,3 +177,31 @@ class TestLETKFDense:
             1.0,
         )
         assert w.shape == (g, k, k)
+
+
+class TestNewtonSolver:
+    """The matmul-only Newton-Schulz path must match the eigh path
+    (both compute (Z Z^T + reg I)^{-1} and its principal square root)."""
+
+    def test_from_gram_newton_matches_eigh(self, rng):
+        k, l = 12, 30
+        perts = jnp.asarray(rng.randn(k, l) / np.sqrt(l))
+        obs = jnp.asarray(rng.randn(1, l) / np.sqrt(l))
+        gram = matrix_product(perts, perts)
+        kobs = matrix_product(perts, obs)
+        out_e = etkf_weights_from_gram(gram, kobs, k, 1.1, method="eigh")
+        out_n = etkf_weights_from_gram(gram, kobs, k, 1.1, method="newton")
+        for a, b in zip(out_e, out_n):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+
+    def test_letkf_dense_newton_matches_eigh(self, rng):
+        k, l, g = 8, 16, 5
+        perts = jnp.asarray(rng.randn(k, l))
+        obs = jnp.asarray(rng.randn(l))
+        weights = jnp.asarray(rng.rand(g, l))
+        w_e = letkf_weights_dense(perts, obs, weights, 1.1, method="eigh")
+        w_n = letkf_weights_dense(perts, obs, weights, 1.1, method="newton",
+                                  newton_iters=40)
+        np.testing.assert_allclose(np.asarray(w_e), np.asarray(w_n),
+                                   atol=2e-4)

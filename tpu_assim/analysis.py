@@ -1,0 +1,170 @@
+"""
+Fused, fully-jitted analysis steps.
+
+The reference's hot path crosses xarray -> dask -> numpy -> torch per grid
+chunk (/root/reference/pytassim/interface/letkf.py:127-143, wrapper.py:29-63).
+Here the complete analysis — obs-operator application, R^{-1/2}
+normalization, innovation, Gaspari-Cohn taper, batched weight solve, and
+weight application — is one jitted XLA program with zero host round-trips.
+These entry points power bench.py and the cycled-DA experiments; the
+class-based interface layer (:mod:`tpu_assim.interface`) offers the same math
+with the reference's flexible object API.
+"""
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu_assim.interface.mixin_local import map_grid_chunked
+from tpu_assim.ops.etkf import letkf_weights_dense, etkf_weights
+
+__all__ = ["make_letkf_analysis", "make_etkf_analysis", "make_cycle_step"]
+
+
+def _normalized_obs_space(ens_obs, obs_vals, obs_var):
+    """R^{-1/2} normalization of innovations and obs-space perturbations for
+    a diagonal covariance (reference: observation.py:241-245,
+    interface/base.py:359-379).
+
+    ens_obs [k, o], obs_vals [o], obs_var [o] -> (perts [k, o], innov [o]).
+    """
+    rcinv = 1.0 / jnp.sqrt(obs_var)
+    mean = jnp.mean(ens_obs, axis=0, keepdims=True)
+    perts = (ens_obs - mean) * rcinv
+    innov = (obs_vals - mean[0]) * rcinv
+    return perts, innov
+
+
+def make_letkf_analysis(
+    localization,
+    inf_factor: float = 1.0,
+    chunksize: Optional[int] = None,
+    obs_operator: Optional[Callable] = None,
+    method: str = "eigh",
+    newton_iters: int = 25,
+):
+    """Build a jitted single-cycle LETKF analysis.
+
+    Parameters
+    ----------
+    localization : taper object (or None).
+    inf_factor : inflation rho.
+    chunksize : grid columns per processing chunk (HBM bound).
+    obs_operator : optional jnp callable ``[..., grid] -> [..., obs]``; by
+        default observations are direct point observations selected by the
+        ``obs_idx`` argument.
+    method : ``"eigh"`` (exact, reference-parity math) or ``"newton"`` (the
+        matmul-only MXU path — XLA's batched eigh dominates the TPU profile
+        otherwise; see ops/etkf.py:etkf_weights_from_gram).
+    newton_iters : Newton iteration count for ``method="newton"``.
+
+    Returns
+    -------
+    analysis_fn(state_data [k, g], obs_vals [o], obs_var [o], obs_idx [o],
+                grid_coords [g, d], obs_coords [o, d]) -> analysis [k, g]
+
+    The state here is the single-variable single-time ensemble matrix — the
+    benchmark layout (reference: examples/benchmark_letkf.py:107-122). For
+    the full 4-D state path use :class:`tpu_assim.interface.LETKF`.
+    """
+
+    @jax.jit
+    def analysis_fn(state_data, obs_vals, obs_var, obs_idx, grid_coords,
+                    obs_coords):
+        if obs_operator is None:
+            ens_obs = jnp.take(state_data, obs_idx, axis=-1)  # [k, o]
+        else:
+            ens_obs = obs_operator(state_data)
+        perts, innov = _normalized_obs_space(ens_obs, obs_vals, obs_var)
+
+        # localization info rows: time column 0 (zero here), then coords
+        # (reference prepends analysis time, mixin_local.py:56-58)
+        grid_info = jnp.concatenate(
+            [jnp.zeros((grid_coords.shape[0], 1), grid_coords.dtype),
+             grid_coords], axis=1,
+        )
+        obs_info = jnp.concatenate(
+            [jnp.zeros((obs_coords.shape[0], 1), obs_coords.dtype),
+             obs_coords], axis=1,
+        )
+
+        def chunk_fn(g_chunk):
+            if localization is None:
+                w_loc = jnp.ones(
+                    (g_chunk.shape[0], obs_info.shape[0]), dtype=perts.dtype
+                )
+            else:
+                w_loc = localization.taper_weights(g_chunk, obs_info).astype(
+                    perts.dtype
+                )
+            return letkf_weights_dense(
+                perts, innov, w_loc,
+                jnp.asarray(inf_factor, dtype=perts.dtype),
+                method=method, newton_iters=newton_iters,
+            )
+
+        weights = map_grid_chunked(chunk_fn, grid_info, chunksize)  # [g,k,k]
+        mean = jnp.mean(state_data, axis=0, keepdims=True)
+        state_perts = state_data - mean
+        analysis = mean + jnp.einsum("kg,gkm->mg", state_perts, weights,
+                                  precision=jax.lax.Precision.HIGHEST)
+        return analysis
+
+    return analysis_fn
+
+
+def make_etkf_analysis(inf_factor: float = 1.0,
+                       obs_operator: Optional[Callable] = None):
+    """Build a jitted global-ETKF analysis with the same signature as
+    :func:`make_letkf_analysis` (grid/obs coords ignored)."""
+
+    @jax.jit
+    def analysis_fn(state_data, obs_vals, obs_var, obs_idx, grid_coords,
+                    obs_coords):
+        if obs_operator is None:
+            ens_obs = jnp.take(state_data, obs_idx, axis=-1)
+        else:
+            ens_obs = obs_operator(state_data)
+        perts, innov = _normalized_obs_space(ens_obs, obs_vals, obs_var)
+        weights = etkf_weights(
+            perts, innov[None, :], jnp.asarray(inf_factor, dtype=perts.dtype)
+        )
+        mean = jnp.mean(state_data, axis=0, keepdims=True)
+        state_perts = state_data - mean
+        analysis = mean + jnp.einsum("kg,km->mg", state_perts, weights,
+                                  precision=jax.lax.Precision.HIGHEST)
+        return analysis
+
+    return analysis_fn
+
+
+def make_cycle_step(
+    integrator,
+    n_int_steps: int,
+    localization,
+    inf_factor: float = 1.0,
+    chunksize: Optional[int] = None,
+):
+    """Build a jitted forecast+analysis cycle step for a [k, g] ensemble:
+    integrate every member ``n_int_steps`` steps, then run the LETKF analysis
+    — the composition the reference's cycled experiments build by hand
+    (SURVEY §3.5; examples/benchmark_letkf.py + RK4Integrator).
+
+    Returns step(state_data, obs_vals, obs_var, obs_idx, grid_coords,
+                 obs_coords) -> analysis [k, g].
+    """
+    analyse = make_letkf_analysis(localization, inf_factor, chunksize)
+
+    @jax.jit
+    def step(state_data, obs_vals, obs_var, obs_idx, grid_coords, obs_coords):
+        def body(s, _):
+            return integrator.integrate(s), None
+
+        forecast, _ = jax.lax.scan(body, state_data, None, length=n_int_steps)
+        return analyse(
+            forecast, obs_vals, obs_var, obs_idx, grid_coords, obs_coords
+        )
+
+    return step

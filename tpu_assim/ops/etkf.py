@@ -18,9 +18,10 @@ looping per column (reference loop: pytassim/interface/letkf.py:127-143).
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
-from tpu_assim.ops.linalg import evd, rev_evd, matrix_product
+from tpu_assim.ops.linalg import evd, rev_evd, matrix_product, inv_sqrt_psd_newton
 
 __all__ = [
     "etkf_weights",
@@ -44,6 +45,8 @@ def etkf_weights_from_gram(
     kernel_obs: jnp.ndarray,
     ens_size: int,
     inf_factor: jnp.ndarray | float = 1.0,
+    method: str = "eigh",
+    newton_iters: int = 25,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Solve for (w_mean, w_perts, cov_analysed) from a Gram matrix.
 
@@ -59,11 +62,33 @@ def etkf_weights_from_gram(
     ens_size : static ensemble size K.
     inf_factor : covariance inflation factor ``rho`` entering as the
         regularizer ``(K-1)/rho`` (reference: core/etkf.py:67).
+    method : ``"eigh"`` — exact eigendecomposition (bitwise-comparable to the
+        reference math; XLA's batched eigh is slow on TPU for [B, K, K]
+        batches). ``"newton"`` — matmul-only coupled Newton–Schulz iteration
+        computing ``(G + reg I)^{-1}`` and ``(G + reg I)^{-1/2}`` directly on
+        the MXU; mathematically identical for PSD Gram matrices (the
+        eigenvalue clamp of the eigh path is then inactive), accurate to
+        working precision, and the TPU speed-of-light path.
+    newton_iters : iteration count for ``method="newton"``.
     """
     reg_value = (ens_size - 1) / jnp.asarray(inf_factor, dtype=kernel_perts.dtype)
+    if method == "newton":
+        k = kernel_perts.shape[-1]
+        eye = jnp.eye(k, dtype=kernel_perts.dtype)
+        a_mat = kernel_perts + reg_value * eye
+        cov_analysed, a_inv_sqrt = inv_sqrt_psd_newton(
+            a_mat, num_iters=newton_iters
+        )
+        w_mean = jnp.einsum("...ij,...jl->...il", cov_analysed, kernel_obs,
+                            precision=jax.lax.Precision.HIGHEST)
+        w_perts = jnp.sqrt(jnp.asarray(ens_size - 1, kernel_perts.dtype)) * a_inv_sqrt
+        return w_mean, w_perts, cov_analysed
+    if method != "eigh":
+        raise ValueError(f"unknown method {method!r}; use 'eigh' or 'newton'")
     evals, evects, evals_inv = evd(kernel_perts, reg_value)
     cov_analysed = rev_evd(evals_inv, evects)
-    w_mean = jnp.einsum("...ij,...jl->...il", cov_analysed, kernel_obs)
+    w_mean = jnp.einsum("...ij,...jl->...il", cov_analysed, kernel_obs,
+                        precision=jax.lax.Precision.HIGHEST)
     square_root_einv = jnp.sqrt((ens_size - 1) * evals_inv)
     w_perts = rev_evd(square_root_einv, evects)
     return w_mean, w_perts, cov_analysed
@@ -111,6 +136,8 @@ def letkf_weights_dense(
     normed_obs: jnp.ndarray,
     obs_weights: jnp.ndarray,
     inf_factor: jnp.ndarray | float = 1.0,
+    method: str = "eigh",
+    newton_iters: int = 25,
 ) -> jnp.ndarray:
     """Localized ETKF weights for a whole batch of grid columns at once.
 
@@ -140,13 +167,19 @@ def letkf_weights_dense(
     normed_obs = normed_obs.reshape(-1)
     ens_size = normed_perts.shape[-2]
     # Batched Gram matrices: G[g] = Z diag(w_g) Z^T, zy[g] = Z diag(w_g) y.
+    # HIGHEST precision: these feed a matrix inverse; bf16 MXU passes would
+    # dominate the error budget (see matrix_product).
+    hp = jax.lax.Precision.HIGHEST
     kernel_perts = jnp.einsum(
-        "kl,...l,ml->...km", normed_perts, obs_weights, normed_perts
+        "kl,...l,ml->...km", normed_perts, obs_weights, normed_perts,
+        precision=hp,
     )
     kernel_obs = jnp.einsum(
-        "kl,...l,l->...k", normed_perts, obs_weights, normed_obs
+        "kl,...l,l->...k", normed_perts, obs_weights, normed_obs,
+        precision=hp,
     )[..., None]
     w_mean, w_perts, _ = etkf_weights_from_gram(
-        kernel_perts, kernel_obs, ens_size, inf_factor
+        kernel_perts, kernel_obs, ens_size, inf_factor,
+        method=method, newton_iters=newton_iters,
     )
     return w_mean + w_perts

@@ -55,7 +55,8 @@ def evd(
 
 def rev_evd(evals: jnp.ndarray, evects: jnp.ndarray) -> jnp.ndarray:
     """Recompose ``U diag(evals) U^T`` (pytassim/core/utils.py:64-93)."""
-    return jnp.einsum("...ik,...k,...jk->...ij", evects, evals, evects)
+    return jnp.einsum("...ik,...k,...jk->...ij", evects, evals, evects,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def svd(
@@ -75,12 +76,18 @@ def svd(
 
 def rev_svd(u: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Recompose ``u diag(s) v^T`` (pytassim/core/utils.py:127-150)."""
-    return jnp.einsum("...ik,...k,...jk->...ij", u, s, v)
+    return jnp.einsum("...ik,...k,...jk->...ij", u, s, v,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def matrix_product(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """``x @ y^T`` over the trailing two dims (pytassim/core/utils.py:153-173)."""
-    return jnp.einsum("...kl,...ml->...km", x, y)
+    """``x @ y^T`` over the trailing two dims (pytassim/core/utils.py:153-173).
+
+    Full f32 precision on TPU: Gram matrices feed matrix inversions, where
+    the default bf16 MXU passes cost ~3 digits in the final weights.
+    """
+    return jnp.einsum("...kl,...ml->...km", x, y,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def diagonal_add(tensor: jnp.ndarray, to_add: jnp.ndarray | float = 0.0) -> jnp.ndarray:
@@ -127,11 +134,17 @@ def inv_sqrt_psd_newton(
     norm = jnp.maximum(norm, jnp.finfo(a.dtype).tiny)
     a_n = a / norm
 
+    # Full-precision matmuls: the iteration amplifies rounding, and the
+    # TPU default (bf16 MXU passes for f32 operands) loses ~3 digits over
+    # ~20 iterations. HIGHEST keeps the MXU path but accumulates in f32.
+    hp = jax.lax.Precision.HIGHEST
+
     def body(_, yz):
         y, z = yz
-        t = 0.5 * (3.0 * eye - jnp.einsum("...ij,...jk->...ik", z, y))
-        y = jnp.einsum("...ij,...jk->...ik", y, t)
-        z = jnp.einsum("...ij,...jk->...ik", t, z)
+        t = 0.5 * (3.0 * eye - jnp.einsum("...ij,...jk->...ik", z, y,
+                                          precision=hp))
+        y = jnp.einsum("...ij,...jk->...ik", y, t, precision=hp)
+        z = jnp.einsum("...ij,...jk->...ik", t, z, precision=hp)
         return y, z
 
     y0 = a_n
@@ -140,5 +153,6 @@ def inv_sqrt_psd_newton(
     # y -> a_n^{1/2}, z -> a_n^{-1/2}
     sqrt_norm = jnp.sqrt(norm)
     a_inv_sqrt = z / sqrt_norm
-    a_inv = jnp.einsum("...ij,...jk->...ik", a_inv_sqrt, a_inv_sqrt)
+    a_inv = jnp.einsum("...ij,...jk->...ik", a_inv_sqrt, a_inv_sqrt,
+                       precision=hp)
     return a_inv, a_inv_sqrt
