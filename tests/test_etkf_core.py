@@ -205,3 +205,86 @@ class TestNewtonSolver:
                                   newton_iters=40)
         np.testing.assert_allclose(np.asarray(w_e), np.asarray(w_n),
                                    atol=2e-4)
+
+
+class TestNeighborhoodLETKF:
+    """Fixed-size top-k obs neighborhoods must reproduce the dense masked
+    solve exactly whenever max_obs covers every nonzero-weight obs
+    (zero-weight padding contributes nothing to the Gram products)."""
+
+    def test_nbh_equals_dense(self, rng):
+        from tpu_assim.ops.etkf import letkf_weights_nbh
+        from tpu_assim.ops.localization import (
+            GaspariCohn, neighborhood_select,
+        )
+
+        k, l, g = 6, 30, 12
+        perts = jnp.asarray(rng.randn(k, l))
+        obs = jnp.asarray(rng.randn(l))
+        grid_coords = jnp.asarray(
+            np.stack([np.zeros(g), np.arange(g, dtype=float) * 2.5], axis=1)
+        )
+        obs_coords = jnp.asarray(
+            np.stack([np.zeros(l), np.linspace(0, 30, l)], axis=1)
+        )
+
+        def dist_fn(gc, oi):
+            return jnp.abs(oi[:, 1] - gc[1])[None, :]
+
+        loc = GaspariCohn((3.0,), dist_fn)
+        w_dense_loc = loc.taper_weights(grid_coords, obs_coords)
+        max_nonzero = int(np.max(np.sum(np.asarray(w_dense_loc) > 0, axis=1)))
+        nb = max_nonzero + 2  # covers every nonzero obs -> exact
+        idx, wn = neighborhood_select(loc, grid_coords, obs_coords, nb)
+        w_dense = letkf_weights_dense(perts, obs, w_dense_loc, 1.1)
+        w_nbh = letkf_weights_nbh(perts, obs, idx, wn, 1.1)
+        np.testing.assert_allclose(np.asarray(w_nbh), np.asarray(w_dense),
+                                   atol=1e-10)
+
+    def test_nbh_pads_when_fewer_obs_than_max(self, rng):
+        from tpu_assim.ops.etkf import letkf_weights_nbh
+        from tpu_assim.ops.localization import (
+            GaspariCohn, neighborhood_select,
+        )
+
+        k, l, g = 4, 5, 3
+        perts = jnp.asarray(rng.randn(k, l))
+        obs = jnp.asarray(rng.randn(l))
+        grid_coords = jnp.asarray(np.zeros((g, 2)))
+        obs_coords = jnp.asarray(
+            np.stack([np.zeros(l), np.arange(l, dtype=float)], axis=1)
+        )
+
+        def dist_fn(gc, oi):
+            return jnp.abs(oi[:, 1] - gc[1])[None, :]
+
+        loc = GaspariCohn((10.0,), dist_fn)
+        idx, wn = neighborhood_select(loc, grid_coords, obs_coords, 8)
+        assert idx.shape == (g, 8) and wn.shape == (g, 8)
+        assert np.all(np.asarray(wn[:, l:]) == 0.0)
+        w = letkf_weights_nbh(perts, obs, idx, wn, 1.0)
+        assert np.isfinite(np.asarray(w)).all()
+
+    def test_analysis_nbh_matches_dense(self, rng):
+        from tpu_assim.analysis import make_letkf_analysis
+        from tpu_assim.ops.localization import GaspariCohn
+
+        k, g, o = 8, 64, 16
+        state = jnp.asarray(rng.randn(k, g))
+        obs_locs = np.linspace(0, g, num=o, endpoint=False)
+        obs_idx = jnp.asarray(np.rint(obs_locs).astype(np.int32) % g)
+        obs_vals = jnp.asarray(rng.randn(o))
+        obs_var = jnp.asarray(np.full(o, 0.5))
+        gcoords = jnp.asarray(np.arange(g, dtype=float)[:, None])
+        ocoords = jnp.asarray(obs_locs[:, None])
+
+        def dist_fn(gc, oi):
+            return jnp.abs(oi[:, 1] - gc[1])[None, :]
+
+        loc = GaspariCohn((6.0,), dist_fn)
+        dense = make_letkf_analysis(loc, inf_factor=1.1)
+        nbh = make_letkf_analysis(loc, inf_factor=1.1, max_obs=8)
+        a_dense = dense(state, obs_vals, obs_var, obs_idx, gcoords, ocoords)
+        a_nbh = nbh(state, obs_vals, obs_var, obs_idx, gcoords, ocoords)
+        np.testing.assert_allclose(np.asarray(a_nbh), np.asarray(a_dense),
+                                   atol=1e-9)

@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 
 from tpu_assim.interface.mixin_local import map_grid_chunked
-from tpu_assim.ops.etkf import letkf_weights_dense, etkf_weights
+from tpu_assim.ops.etkf import (
+    letkf_weights_dense,
+    letkf_weights_nbh,
+    etkf_weights,
+)
+from tpu_assim.ops.localization import neighborhood_select
 
 __all__ = ["make_letkf_analysis", "make_etkf_analysis", "make_cycle_step"]
 
@@ -44,6 +49,7 @@ def make_letkf_analysis(
     obs_operator: Optional[Callable] = None,
     method: str = "eigh",
     newton_iters: int = 25,
+    max_obs: Optional[int] = None,
 ):
     """Build a jitted single-cycle LETKF analysis.
 
@@ -59,6 +65,11 @@ def make_letkf_analysis(
         matmul-only MXU path — XLA's batched eigh dominates the TPU profile
         otherwise; see ops/etkf.py:etkf_weights_from_gram).
     newton_iters : Newton iteration count for ``method="newton"``.
+    max_obs : if set, each grid column solves over only its ``max_obs``
+        largest-taper-weight observations (exact whenever no column has more
+        nonzero-weight obs than that — see
+        :func:`tpu_assim.ops.localization.neighborhood_select`); otherwise
+        the weighted Gram runs over the full obs vector.
 
     Returns
     -------
@@ -91,6 +102,15 @@ def make_letkf_analysis(
         )
 
         def chunk_fn(g_chunk):
+            if localization is not None and max_obs is not None:
+                idx, w_nbh = neighborhood_select(
+                    localization, g_chunk, obs_info, max_obs
+                )
+                return letkf_weights_nbh(
+                    perts, innov, idx, w_nbh.astype(perts.dtype),
+                    jnp.asarray(inf_factor, dtype=perts.dtype),
+                    method=method, newton_iters=newton_iters,
+                )
             if localization is None:
                 w_loc = jnp.ones(
                     (g_chunk.shape[0], obs_info.shape[0]), dtype=perts.dtype

@@ -15,6 +15,7 @@ from tpu_assim.ops.etkf import (
     etkf_weights_from_gram,
     etkf_prior_weights,
     letkf_weights_dense,
+    letkf_weights_nbh,
 )
 from tpu_assim.ops.ketkf import ketkf_weights, center_gram
 from tpu_assim.ops.ienks import ienks_transform_step, ienks_bundle_step
@@ -24,6 +25,7 @@ from tpu_assim.ops.localization import (
     GaspariCohnInf,
     abs_distance,
     periodic_distance,
+    neighborhood_select,
 )
 from tpu_assim.ops import kernels
 
@@ -40,6 +42,7 @@ __all__ = [
     "etkf_weights_from_gram",
     "etkf_prior_weights",
     "letkf_weights_dense",
+    "letkf_weights_nbh",
     "ketkf_weights",
     "center_gram",
     "ienks_transform_step",
@@ -49,5 +52,6 @@ __all__ = [
     "GaspariCohnInf",
     "abs_distance",
     "periodic_distance",
+    "neighborhood_select",
     "kernels",
 ]

@@ -10,7 +10,7 @@ All recompositions are einsums so XLA can fuse scaling into the matmuls.
 """
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -112,7 +112,7 @@ def eigh_psd(tensor: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 @partial(jax.jit, static_argnames=("num_iters",))
 def inv_sqrt_psd_newton(
-    a: jnp.ndarray, num_iters: int = 14
+    a: jnp.ndarray, num_iters: int = 14, lam_min: Optional[float] = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Matmul-only inverse and inverse-square-root of a batched SPD matrix.
 
@@ -124,13 +124,27 @@ def inv_sqrt_psd_newton(
     an opt-in solver; the default path uses :func:`evd` for exact parity with
     the reference math.
 
+    Parameters
+    ----------
+    lam_min : optional known lower bound on the spectrum (for the ETKF solve
+        this is exactly the regularizer ``(K-1)/rho``). With it the input is
+        scaled by ``2 / (lam_min + lam_max_bound)``, centering the spectrum
+        about 1 — the optimal affine scaling, which cuts the linear warm-up
+        phase of the iteration roughly in half for well-conditioned inputs.
+
     Returns ``(a_inv, a_inv_sqrt)``.
     """
     k = a.shape[-1]
     eye = jnp.eye(k, dtype=a.dtype)
-    # Normalize so eigenvalues lie in (0, 1]: divide by an upper bound of the
-    # spectral radius (row-sum / infinity norm, cheap and batched).
-    norm = jnp.max(jnp.sum(jnp.abs(a), axis=-1), axis=-1)[..., None, None]
+    # Spectral-radius upper bound: min(row-sum/infinity norm, trace) — both
+    # valid for SPD matrices, cheap, and batched.
+    inf_norm = jnp.max(jnp.sum(jnp.abs(a), axis=-1), axis=-1)
+    trace = jnp.trace(a, axis1=-2, axis2=-1)
+    lam_max = jnp.minimum(inf_norm, trace)[..., None, None]
+    if lam_min is not None:
+        norm = 0.5 * (lam_max + jnp.asarray(lam_min, a.dtype))
+    else:
+        norm = lam_max
     norm = jnp.maximum(norm, jnp.finfo(a.dtype).tiny)
     a_n = a / norm
 

@@ -29,6 +29,7 @@ __all__ = [
     "GaspariCohn",
     "GaspariCohnInf",
     "abs_distance",
+    "neighborhood_select",
     "periodic_distance",
 ]
 
@@ -154,6 +155,32 @@ class GaspariCohn(BaseLocalization):
         use_obs = weights > self.epsilon
         return use_obs, weights
 
+    def taper_weights(
+        self, grid_coords: jnp.ndarray, obs_coords: jnp.ndarray
+    ) -> jnp.ndarray:
+        # Flat batched evaluation: vmap only the user distance function, then
+        # run the piecewise polynomials on the whole [g, o] matrix at once.
+        # (vmapping the polynomial chain per column lowers to a ~35x slower
+        # program on TPU — the [1, o]-shaped where-chains defeat fusion.)
+        # Subclasses overriding localize_obs get the generic per-column path.
+        if type(self).localize_obs is not GaspariCohn.localize_obs:
+            return BaseLocalization.taper_weights(self, grid_coords, obs_coords)
+        dist = jax.vmap(
+            lambda gc: jnp.atleast_2d(self.dist_func(gc, obs_coords))
+        )(grid_coords)  # [g, n_dim, o]
+        n_dim = dist.shape[1]
+        weights = jnp.ones(
+            (dist.shape[0], dist.shape[2]), dtype=dist.dtype
+        )
+        for i in range(n_dim):
+            radius = self.radius[i] if i < len(self.radius) else self.radius[-1]
+            z = dist[:, i, :] / radius
+            z_safe = jnp.maximum(z, jnp.finfo(dist.dtype).tiny)
+            w = jnp.where(z < 2.0, self._f2(z_safe), 0.0)
+            w = jnp.where(z < 1.0, self._f1(z), w)
+            weights = weights * w
+        return jnp.where(weights > self.epsilon, weights, 0.0)
+
 
 class GaspariCohnInf(BaseLocalization):
     """Gaspari-Cohn correlation function ``C_0(z, inf, c)`` with four
@@ -234,3 +261,54 @@ class GaspariCohnInf(BaseLocalization):
         weights = jnp.where(z < 0.5, self._f1(z), weights)
         use_obs = weights > self.epsilon
         return use_obs, weights
+
+    def taper_weights(
+        self, grid_coords: jnp.ndarray, obs_coords: jnp.ndarray
+    ) -> jnp.ndarray:
+        # Flat batched evaluation (see GaspariCohn.taper_weights).
+        if type(self).localize_obs is not GaspariCohnInf.localize_obs:
+            return BaseLocalization.taper_weights(self, grid_coords, obs_coords)
+        dist = jax.vmap(
+            lambda gc: jnp.asarray(self.dist_func(gc, obs_coords)).reshape(-1)
+        )(grid_coords)  # [g, o]
+        z = dist / self.radius
+        z_safe = jnp.maximum(z, jnp.finfo(dist.dtype).tiny)
+        weights = jnp.where(z < 2.0, self._f4(z_safe), 0.0)
+        weights = jnp.where(z < 1.5, self._f3(z_safe), weights)
+        weights = jnp.where(z < 1.0, self._f2(z_safe), weights)
+        weights = jnp.where(z < 0.5, self._f1(z), weights)
+        return jnp.where(weights > self.epsilon, weights, 0.0)
+
+
+def neighborhood_select(
+    localization,
+    grid_coords: jnp.ndarray,
+    obs_coords: jnp.ndarray,
+    max_obs: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-size obs neighborhoods: the ``max_obs`` highest-taper-weight
+    observations per grid column.
+
+    The reference handles localization with *ragged* per-gridpoint obs
+    subsets (pytassim/interface/wrapper.py:91-97) — impossible under XLA's
+    static shapes and wasteful on the MXU. Instead each column gets a static
+    ``max_obs``-sized neighborhood chosen by ``top_k`` of the taper weights.
+    When every column has at most ``max_obs`` observations with nonzero
+    taper weight (for Gaspari-Cohn: all obs within ``2 * radius``), the
+    padded entries carry weight exactly 0 and contribute nothing to the
+    weighted Gram products — the selection is then *exact*, not an
+    approximation; otherwise it truncates to the ``max_obs`` closest
+    (largest-weight) observations, the standard LETKF practice for bounding
+    local obs counts.
+
+    Returns ``(idx [g, max_obs] int32, weights [g, max_obs])``.
+    """
+    weights = localization.taper_weights(grid_coords, obs_coords)  # [g, o]
+    n_obs = weights.shape[-1]
+    k = min(max_obs, n_obs)
+    top_w, top_idx = jax.lax.top_k(weights, k)
+    if k < max_obs:  # fewer obs than the neighborhood size: zero-pad
+        pad = max_obs - k
+        top_w = jnp.pad(top_w, ((0, 0), (0, pad)))
+        top_idx = jnp.pad(top_idx, ((0, 0), (0, pad)))
+    return top_idx.astype(jnp.int32), top_w
