@@ -104,11 +104,12 @@ def main():
     loc = GaspariCohn((radius,), dist_fn)
     # Fast path: fixed-size obs neighborhoods (radius 20 -> cutoff 2r=40,
     # obs spacing 10 -> at most 9 nonzero-weight obs per column, so
-    # max_obs=16 is exact, not an approximation) + the matmul-only
-    # Newton-Schulz solve (8 iterations reach the f32 floor vs eigh).
+    # max_obs=16 is exact, not an approximation) + the fused Pallas
+    # solve+apply kernel (ops/pallas/letkf.py): Woodbury dual-space
+    # Newton-Schulz, fully VMEM-resident, one HBM round-trip.
     analyse = make_letkf_analysis(
         loc, inf_factor=inf, chunksize=None,
-        method="newton", newton_iters=8, max_obs=16,
+        method="pallas", newton_iters=10, max_obs=16,
     )
     args = tuple(
         jnp.asarray(a)

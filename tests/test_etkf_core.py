@@ -288,3 +288,98 @@ class TestNeighborhoodLETKF:
         a_nbh = nbh(state, obs_vals, obs_var, obs_idx, gcoords, ocoords)
         np.testing.assert_allclose(np.asarray(a_nbh), np.asarray(a_dense),
                                    atol=1e-9)
+
+
+class TestWoodburySolver:
+    """Dual-space solve must equal the eigh path (same weights at working
+    precision), including zero-weight padded neighborhoods."""
+
+    def test_woodbury_matches_eigh(self, rng):
+        from tpu_assim.ops.etkf import letkf_weights_nbh
+
+        k, l, g, nb = 10, 40, 7, 6
+        perts = jnp.asarray(rng.randn(k, l))
+        obs = jnp.asarray(rng.randn(l))
+        idx = jnp.asarray(rng.randint(0, l, size=(g, nb)).astype(np.int32))
+        w = jnp.asarray(rng.rand(g, nb))
+        w_e = letkf_weights_nbh(perts, obs, idx, w, 1.1, method="eigh")
+        w_w = letkf_weights_nbh(perts, obs, idx, w, 1.1, method="woodbury",
+                                newton_iters=20)
+        np.testing.assert_allclose(np.asarray(w_w), np.asarray(w_e),
+                                   atol=1e-9)
+
+    def test_woodbury_zero_padded(self, rng):
+        from tpu_assim.ops.etkf import letkf_weights_nbh
+
+        k, l, g, nb = 8, 30, 5, 6
+        perts = jnp.asarray(rng.randn(k, l))
+        obs = jnp.asarray(rng.randn(l))
+        idx = jnp.asarray(rng.randint(0, l, size=(g, nb)).astype(np.int32))
+        w = jnp.asarray(rng.rand(g, nb)).at[:, 3:].set(0.0)
+        w_e = letkf_weights_nbh(perts, obs, idx, w, 1.0, method="eigh")
+        w_w = letkf_weights_nbh(perts, obs, idx, w, 1.0, method="woodbury",
+                                newton_iters=20)
+        np.testing.assert_allclose(np.asarray(w_w), np.asarray(w_e),
+                                   atol=1e-9)
+
+
+class TestPallasFusedKernel:
+    """The fused Pallas solve+apply kernel (interpret mode on CPU) must
+    reproduce the weights-then-apply reference composition."""
+
+    def _reference(self, perts, obs, idx, w, state, inf):
+        from tpu_assim.ops.etkf import letkf_weights_nbh
+
+        wmat = letkf_weights_nbh(
+            jnp.asarray(perts), jnp.asarray(obs), jnp.asarray(idx),
+            jnp.asarray(w), inf, method="eigh",
+        )
+        mean = state.mean(0)
+        sp = state - mean
+        return mean + np.einsum("kg,gkm->mg", sp, np.asarray(wmat))
+
+    def test_fused_matches_reference(self, rng):
+        from tpu_assim.ops.pallas.letkf import letkf_nbh_analysis_fused
+
+        k, l, g, nb, inf = 12, 50, 37, 8, 1.1
+        perts = rng.randn(k, l).astype("f4")
+        obs = rng.randn(l).astype("f4")
+        idx = rng.randint(0, l, size=(g, nb)).astype("i4")
+        w = rng.rand(g, nb).astype("f4")
+        w[:, 6:] = 0.0
+        state = rng.randn(k, g).astype("f4")
+        ref = self._reference(perts, obs, idx, w, state, inf)
+        sw = np.sqrt(w)
+        zh = np.transpose(perts[:, idx], (1, 2, 0)) * sw[:, :, None]
+        yh = obs[idx] * sw
+        mean = state.mean(0)
+        sp = (state - mean).T
+        reg = jnp.asarray((k - 1) / inf, jnp.float32)
+        out = letkf_nbh_analysis_fused(
+            jnp.asarray(zh), jnp.asarray(yh), jnp.asarray(sp),
+            jnp.asarray(mean), reg, k, num_iters=14, tile=16,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out).T, ref, atol=2e-4)
+
+    def test_fused_tile_padding(self, rng):
+        # g not divisible by tile: padded tail must not leak into output
+        from tpu_assim.ops.pallas.letkf import letkf_nbh_analysis_fused
+
+        k, g, nb = 6, 21, 4
+        zh = rng.randn(g, nb, k).astype("f4") * 0.3
+        yh = rng.randn(g, nb).astype("f4")
+        sp = rng.randn(g, k).astype("f4")
+        mean = rng.randn(g).astype("f4")
+        reg = jnp.asarray(5.0, jnp.float32)
+        big = letkf_nbh_analysis_fused(
+            jnp.asarray(zh), jnp.asarray(yh), jnp.asarray(sp),
+            jnp.asarray(mean), reg, k, num_iters=14, tile=8, interpret=True,
+        )
+        one = letkf_nbh_analysis_fused(
+            jnp.asarray(zh), jnp.asarray(yh), jnp.asarray(sp),
+            jnp.asarray(mean), reg, k, num_iters=14, tile=21, interpret=True,
+        )
+        assert big.shape == (g, k)
+        np.testing.assert_allclose(np.asarray(big), np.asarray(one),
+                                   atol=1e-5)

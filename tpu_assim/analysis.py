@@ -101,6 +101,31 @@ def make_letkf_analysis(
              obs_coords], axis=1,
         )
 
+        if method == "pallas" and localization is not None and (
+            max_obs is not None
+        ):
+            # Fully fused path: neighborhood gather in XLA, then a single
+            # Pallas kernel does the whole solve + weight application with
+            # one HBM round-trip (ops/pallas/letkf.py).
+            from tpu_assim.ops.pallas.letkf import letkf_nbh_analysis_fused
+
+            idx, w_nbh = neighborhood_select(
+                localization, grid_info, obs_info, max_obs
+            )
+            sw = jnp.sqrt(w_nbh).astype(perts.dtype)
+            zh = perts[:, idx].transpose(1, 2, 0) * sw[:, :, None]
+            yh = innov[idx] * sw
+            mean = jnp.mean(state_data, axis=0)
+            sp = state_data - mean[None, :]
+            reg = jnp.asarray(
+                (state_data.shape[0] - 1) / inf_factor, perts.dtype
+            )
+            out = letkf_nbh_analysis_fused(
+                zh, yh, sp.T, mean, reg, state_data.shape[0],
+                num_iters=newton_iters,
+            )
+            return out.T
+
         def chunk_fn(g_chunk):
             if localization is not None and max_obs is not None:
                 idx, w_nbh = neighborhood_select(

@@ -21,7 +21,14 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from tpu_assim.ops.linalg import evd, rev_evd, matrix_product, inv_sqrt_psd_newton
+from tpu_assim.ops.linalg import (
+    evd,
+    rev_evd,
+    matrix_product,
+    inv_sqrt_psd_newton,
+    sqrt_and_inv_sqrt_psd_newton,
+    inv_spd_newton,
+)
 
 __all__ = [
     "etkf_weights",
@@ -221,6 +228,10 @@ def letkf_weights_nbh(
     z = normed_perts[:, nbh_idx]          # [k, g, nb]
     y = normed_obs[nbh_idx]               # [g, nb]
     hp = jax.lax.Precision.HIGHEST
+    if method == "woodbury":
+        return _letkf_weights_nbh_woodbury(
+            z, y, nbh_weights, ens_size, inf_factor, newton_iters
+        )
     kernel_perts = jnp.einsum("kgn,gn,mgn->gkm", z, nbh_weights, z,
                               precision=hp)
     kernel_obs = jnp.einsum("kgn,gn,gn->gk", z, nbh_weights, y,
@@ -230,3 +241,59 @@ def letkf_weights_nbh(
         method=method, newton_iters=newton_iters,
     )
     return w_mean + w_perts
+
+
+def _letkf_weights_nbh_woodbury(
+    z: jnp.ndarray,
+    y: jnp.ndarray,
+    nbh_weights: jnp.ndarray,
+    ens_size: int,
+    inf_factor,
+    newton_iters: int = 10,
+) -> jnp.ndarray:
+    """Dual-space (Woodbury) localized ETKF solve over obs neighborhoods.
+
+    For ``nb < K`` every matrix function of ``A = Zh Zh^T + reg I_K`` can be
+    computed from the nb x nb matrix ``X = I + Zh^T Zh / reg`` (``Zh`` the
+    sqrt-weight-scaled neighborhood perturbations [K, nb]):
+
+        w_mean   = Zh X^{-1} yh / reg
+        A^{-1/2} = reg^{-1/2} [I_K - Zh (X^{1/2} + I)^{-1} X^{-1/2} Zh^T / reg]
+
+    (the second identity follows from applying f(x)=x^{-1/2} on the nonzero
+    eigenspace of Zh Zh^T and simplifying (f(S+reg) - f(reg)) S^{-1} to
+    ``-(X^{1/2}+I)^{-1} X^{-1/2} / reg``). This shrinks the Newton–Schulz
+    iterations from K x K to nb x nb matmuls — ~(K/nb)^3 fewer FLOPs in the
+    iteration — and X has spectrum in [1, 1 + tr(S)/reg], so the scaled
+    iteration converges in a handful of steps. Exactly the same analysis
+    weights as the eigh path, at working precision.
+    """
+    dtype = z.dtype
+    k = ens_size
+    nb = z.shape[-1]
+    reg = (k - 1) / jnp.asarray(inf_factor, dtype=dtype)
+    hp = jax.lax.Precision.HIGHEST
+    sw = jnp.sqrt(nbh_weights).astype(dtype)          # [g, nb]
+    zh = z.transpose(1, 0, 2) * sw[:, None, :]        # [g, k, nb]
+    yh = y * sw                                       # [g, nb]
+    eye_nb = jnp.eye(nb, dtype=dtype)
+    s_mat = jnp.einsum("gkn,gkm->gnm", zh, zh, precision=hp)
+    x = eye_nb + s_mat / reg
+    x_sqrt, x_inv_sqrt = sqrt_and_inv_sqrt_psd_newton(
+        x, num_iters=newton_iters, lam_min=1.0
+    )
+    x_inv = jnp.einsum("gij,gjk->gik", x_inv_sqrt, x_inv_sqrt, precision=hp)
+    n_mat = jnp.einsum(
+        "gij,gjk->gik",
+        inv_spd_newton(x_sqrt + eye_nb, num_iters=newton_iters, lam_min=2.0),
+        x_inv_sqrt,
+        precision=hp,
+    )
+    w_mean = jnp.einsum("gkn,gnm,gm->gk", zh, x_inv, yh,
+                        precision=hp) / reg            # [g, k]
+    zn = jnp.einsum("gkn,gnm->gkm", zh, n_mat, precision=hp)
+    w_perts = jnp.sqrt((k - 1) / reg) * (
+        jnp.eye(k, dtype=dtype)
+        - jnp.einsum("gkn,gln->gkl", zn, zh, precision=hp) / reg
+    )
+    return w_mean[..., None] + w_perts

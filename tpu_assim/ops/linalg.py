@@ -24,6 +24,8 @@ __all__ = [
     "diagonal_add",
     "eigh_psd",
     "inv_sqrt_psd_newton",
+    "sqrt_and_inv_sqrt_psd_newton",
+    "inv_spd_newton",
 ]
 
 
@@ -170,3 +172,67 @@ def inv_sqrt_psd_newton(
     a_inv = jnp.einsum("...ij,...jk->...ik", a_inv_sqrt, a_inv_sqrt,
                        precision=hp)
     return a_inv, a_inv_sqrt
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def sqrt_and_inv_sqrt_psd_newton(
+    a: jnp.ndarray, num_iters: int = 14, lam_min: Optional[float] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Coupled Newton–Schulz returning ``(a_sqrt, a_inv_sqrt)`` — the same
+    iteration as :func:`inv_sqrt_psd_newton` exposing the square-root factor
+    instead of the inverse."""
+    k = a.shape[-1]
+    eye = jnp.eye(k, dtype=a.dtype)
+    inf_norm = jnp.max(jnp.sum(jnp.abs(a), axis=-1), axis=-1)
+    trace = jnp.trace(a, axis1=-2, axis2=-1)
+    lam_max = jnp.minimum(inf_norm, trace)[..., None, None]
+    if lam_min is not None:
+        norm = 0.5 * (lam_max + jnp.asarray(lam_min, a.dtype))
+    else:
+        norm = lam_max
+    norm = jnp.maximum(norm, jnp.finfo(a.dtype).tiny)
+    a_n = a / norm
+    hp = jax.lax.Precision.HIGHEST
+
+    def body(_, yz):
+        y, z = yz
+        t = 0.5 * (3.0 * eye - jnp.einsum("...ij,...jk->...ik", z, y,
+                                          precision=hp))
+        y = jnp.einsum("...ij,...jk->...ik", y, t, precision=hp)
+        z = jnp.einsum("...ij,...jk->...ik", t, z, precision=hp)
+        return y, z
+
+    y, z = jax.lax.fori_loop(
+        0, num_iters, body, (a_n, jnp.broadcast_to(eye, a.shape))
+    )
+    sqrt_norm = jnp.sqrt(norm)
+    return y * sqrt_norm, z / sqrt_norm
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def inv_spd_newton(
+    a: jnp.ndarray,
+    num_iters: int = 12,
+    lam_min: Optional[float] = None,
+) -> jnp.ndarray:
+    """Matmul-only inverse of a batched SPD matrix via Newton–Schulz
+    ``V <- V (2I - A V)``, seeded with the optimal scalar ``2/(lmin+lmax) I``.
+    """
+    k = a.shape[-1]
+    eye = jnp.eye(k, dtype=a.dtype)
+    inf_norm = jnp.max(jnp.sum(jnp.abs(a), axis=-1), axis=-1)
+    trace = jnp.trace(a, axis1=-2, axis2=-1)
+    lam_max = jnp.minimum(inf_norm, trace)[..., None, None]
+    if lam_min is not None:
+        scale = 2.0 / (lam_max + jnp.asarray(lam_min, a.dtype))
+    else:
+        scale = 1.0 / lam_max
+    hp = jax.lax.Precision.HIGHEST
+
+    def body(_, v):
+        av = jnp.einsum("...ij,...jk->...ik", a, v, precision=hp)
+        return v + jnp.einsum(
+            "...ij,...jk->...ik", v, eye - av, precision=hp
+        )
+
+    return jax.lax.fori_loop(0, num_iters, body, scale * eye + 0.0 * a)
