@@ -1,0 +1,466 @@
+"""
+Parity tests against the *actual* reference implementation.
+
+The reference (tobifinn/torch-assimilate, mounted read-only at
+/root/reference) cannot be imported whole — its orchestration layer needs
+xarray/dask, which are not installed — but its numeric heart is torch-only:
+``pytassim/core``, ``pytassim/kernels``, ``pytassim/localization`` and
+``pytassim/model``. These tests import exactly those subpackages through a
+namespace package and assert float64 allclose (rtol=atol=1e-10, the
+reference's own oracle tolerance, tests/unit_tests/interface/test_letkf.py:69)
+between the torch reference and our JAX rebuild on random inputs.
+
+``torch.symeig`` was removed from torch 2.x; the reference calls it at
+core/utils.py:57 with ``eigenvectors=True, upper=False``, which maps exactly
+to ``torch.linalg.eigh(..., UPLO='L')`` — shimmed below.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+REFERENCE_PATH = "/root/reference/pytassim"
+
+if not os.path.isdir(REFERENCE_PATH):  # pragma: no cover
+    pytest.skip("reference checkout not available", allow_module_level=True)
+
+torch = pytest.importorskip("torch")
+
+# Namespace package: make `import pytassim.core` resolve inside the
+# reference tree without executing pytassim/__init__.py (which needs xarray).
+if "pytassim" not in sys.modules:
+    _pkg = types.ModuleType("pytassim")
+    _pkg.__path__ = [REFERENCE_PATH]
+    sys.modules["pytassim"] = _pkg
+
+# torch >= 2 keeps a `torch.symeig` stub that raises; always override.
+def _symeig_shim(tensor, eigenvectors=True, upper=True):
+    if not eigenvectors:
+        return torch.linalg.eigvalsh(
+            tensor, UPLO="U" if upper else "L"
+        ), None
+    return torch.linalg.eigh(tensor, UPLO="U" if upper else "L")
+
+
+torch.symeig = _symeig_shim
+
+from pytassim.core.etkf import ETKFModule as RefETKF
+from pytassim.core.ketkf import KETKFModule as RefKETKF
+from pytassim.core.ienks import (
+    IEnKSTransformModule as RefIEnKSTransform,
+    IEnKSBundleModule as RefIEnKSBundle,
+)
+from pytassim.core import utils as ref_linalg
+from pytassim import kernels as ref_kernels
+from pytassim.localization.gaspari_cohn import (
+    GaspariCohn as RefGaspariCohn,
+    GaspariCohnInf as RefGaspariCohnInf,
+)
+from pytassim.model.lorenz_96 import Lorenz96 as RefLorenz96
+from pytassim.model.lorenz_84 import Lorenz84 as RefLorenz84
+from pytassim.model.integration.rk4 import RK4Integrator as RefRK4
+
+from tpu_assim.models import Lorenz96, Lorenz84, RK4Integrator
+from tpu_assim.ops import kernels as our_kernels
+from tpu_assim.ops.etkf import etkf_weights
+from tpu_assim.ops.ienks import ienks_transform_step, ienks_bundle_step
+from tpu_assim.ops.ketkf import ketkf_weights
+from tpu_assim.ops import linalg as our_linalg
+from tpu_assim.ops.localization import GaspariCohn, GaspariCohnInf
+
+TOL = dict(rtol=1e-10, atol=1e-10)
+# Distance-based kernels: the reference computes ||x-y||^2 via
+# ``torch.cdist(x, y)**2`` (kernels/utils.py:85,108) — cdist expands to
+# x^2+y^2-2xy on CPU, which cancels catastrophically for close points; our
+# direct (x-y)^2 form is *more* accurate, so parity holds only to ~1e-6 rel.
+DIST_TOL = dict(rtol=1e-6, atol=1e-9)
+DIST_KERNELS = (
+    "GaussKernel", "RBFKernel", "PeriodicKernel", "RationalKernel",
+    "OrnsteinUhlenbeckKernel",
+)
+
+
+def _tol_for(kernel) -> dict:
+    name = type(kernel).__name__
+    if name in DIST_KERNELS:
+        return DIST_TOL
+    if name in ("AdditiveKernel", "MultiplicativeKernel", "PowerKernel"):
+        return DIST_TOL  # compositions in these tests contain a dist kernel
+    if name == "ScaleKernel":
+        # the reference materializes ``torch.ones`` in torch's default
+        # float32 before scaling (kernels/scale.py:71-73), so its own result
+        # carries f32 rounding; ours is exact f64.
+        return dict(rtol=1e-6, atol=1e-9)
+    return TOL
+
+
+def _t(arr):
+    return torch.from_numpy(np.asarray(arr, dtype=np.float64))
+
+
+def _obs_space(rng, ens_size=10, n_obs=25):
+    perts = rng.normal(size=(ens_size, n_obs))
+    perts -= perts.mean(axis=0, keepdims=True)
+    innov = rng.normal(size=(1, n_obs))
+    return perts, innov
+
+
+# --------------------------------------------------------------------- linalg
+class TestLinalgParity:
+    def test_evd_rev_evd(self, rng):
+        x = rng.normal(size=(10, 25))
+        gram = x @ x.T
+        for reg in (0.0, 0.5, 9.0):
+            r_evals, r_evects, r_einv = ref_linalg.evd(_t(gram), reg)
+            evals, evects, einv = our_linalg.evd(jnp.asarray(gram), reg)
+            np.testing.assert_allclose(evals, r_evals.numpy(), **TOL)
+            np.testing.assert_allclose(einv, r_einv.numpy(), **TOL)
+            # eigenvector sign/ordering is convention-dependent; compare the
+            # recomposition instead
+            ours = our_linalg.rev_evd(einv, evects)
+            ref = ref_linalg.rev_evd(r_einv, r_evects)
+            np.testing.assert_allclose(ours, ref.numpy(), **TOL)
+
+    def test_svd_rev_svd(self, rng):
+        mat = rng.normal(size=(10, 10))
+        ru, rs, rv = ref_linalg.svd(_t(mat), reg_value=0.1)
+        u, s, v = our_linalg.svd(jnp.asarray(mat), reg_value=0.1)
+        np.testing.assert_allclose(s, rs.numpy(), **TOL)
+        np.testing.assert_allclose(
+            our_linalg.rev_svd(u, s, v),
+            ref_linalg.rev_svd(ru, rs, rv).numpy(),
+            **TOL,
+        )
+
+    def test_matrix_product_diag_add(self, rng):
+        x, y = rng.normal(size=(6, 9)), rng.normal(size=(6, 9))
+        np.testing.assert_allclose(
+            our_linalg.matrix_product(jnp.asarray(x), jnp.asarray(y)),
+            ref_linalg.matrix_product(_t(x), _t(y)).numpy(),
+            **TOL,
+        )
+        m = rng.normal(size=(6, 6))
+        np.testing.assert_allclose(
+            our_linalg.diagonal_add(jnp.asarray(m), 2.5),
+            ref_linalg.diagonal_add(_t(m), torch.tensor(2.5)).numpy(),
+            **TOL,
+        )
+
+
+# ----------------------------------------------------------------------- ETKF
+class TestETKFParity:
+    @pytest.mark.parametrize("inf_factor", [1.0, 1.1, 2.3])
+    def test_weights(self, rng, inf_factor):
+        perts, innov = _obs_space(rng)
+        ref = RefETKF(inf_factor=torch.tensor(float(inf_factor), dtype=torch.float64))
+        ref_w = ref(_t(perts), _t(innov)).detach().numpy()
+        ours = etkf_weights(jnp.asarray(perts), jnp.asarray(innov), inf_factor)
+        np.testing.assert_allclose(np.asarray(ours), ref_w, **TOL)
+
+    def test_empty_obs_prior(self, rng):
+        perts = np.zeros((8, 0))
+        innov = np.zeros((1, 0))
+        ref = RefETKF(inf_factor=torch.tensor(1.2, dtype=torch.float64))
+        ref_w = ref(_t(perts), _t(innov)).detach().numpy()
+        ours = etkf_weights(jnp.asarray(perts), jnp.asarray(innov), 1.2)
+        np.testing.assert_allclose(np.asarray(ours), ref_w, **TOL)
+
+
+# ---------------------------------------------------------------------- KETKF
+def _kernel_pairs():
+    """(reference kernel, our kernel) instances with identical parameters."""
+    def t(v):
+        return torch.tensor(v, dtype=torch.float64)
+
+    pairs = [
+        (ref_kernels.LinearKernel(), our_kernels.LinearKernel()),
+        (ref_kernels.GaussKernel(lengthscale=t(2.0)),
+         our_kernels.GaussKernel(lengthscale=2.0)),
+        (ref_kernels.RBFKernel(gamma=t(0.25)),
+         our_kernels.RBFKernel(gamma=0.25)),
+        (ref_kernels.PolyKernel(degree=t(3.0), const=t(0.5)),
+         our_kernels.PolyKernel(degree=3.0, const=0.5)),
+        (ref_kernels.PeriodicKernel(period=t(2.0), lengthscale=t(1.5)),
+         our_kernels.PeriodicKernel(period=2.0, lengthscale=1.5)),
+        (ref_kernels.RationalKernel(lengthscale=t(1.5), weighting=t(2.0)),
+         our_kernels.RationalKernel(lengthscale=1.5, weighting=2.0)),
+        (ref_kernels.TanhKernel(coeff=t(0.7), const=t(0.2)),
+         our_kernels.TanhKernel(coeff=0.7, const=0.2)),
+        (ref_kernels.OrnsteinUhlenbeckKernel(lengthscale=t(1.3)),
+         our_kernels.OrnsteinUhlenbeckKernel(lengthscale=1.3)),
+        (ref_kernels.ScaleKernel(scaling=t(0.8)),
+         our_kernels.ScaleKernel(scaling=0.8)),
+        (ref_kernels.DiagKernel(scaling=t(0.6)),
+         our_kernels.DiagKernel(scaling=0.6)),
+    ]
+    # compositions via operator overloading (reference: base_kernels.py:39-57)
+    pairs.append(
+        (
+            ref_kernels.GaussKernel(lengthscale=t(2.0))
+            + ref_kernels.ScaleKernel(scaling=t(0.3)),
+            our_kernels.GaussKernel(lengthscale=2.0)
+            + our_kernels.ScaleKernel(scaling=0.3),
+        )
+    )
+    pairs.append(
+        (
+            ref_kernels.LinearKernel()
+            * ref_kernels.RationalKernel(lengthscale=t(1.5), weighting=t(2.0)),
+            our_kernels.LinearKernel()
+            * our_kernels.RationalKernel(lengthscale=1.5, weighting=2.0),
+        )
+    )
+    pairs.append(
+        (
+            ref_kernels.LinearKernel() ** ref_kernels.ScaleKernel(
+                scaling=t(2.0)
+            ),
+            our_kernels.LinearKernel() ** our_kernels.ScaleKernel(scaling=2.0),
+        )
+    )
+    return pairs
+
+
+class TestKernelParity:
+    @pytest.mark.parametrize(
+        "ref_kernel,our_kernel", _kernel_pairs(),
+        ids=lambda k: type(k).__name__,
+    )
+    def test_gram(self, rng, ref_kernel, our_kernel):
+        x = rng.normal(size=(10, 25))
+        y = rng.normal(size=(7, 25))
+        ref_gram = ref_kernel(_t(x), _t(y)).detach().numpy()
+        our_gram = np.asarray(our_kernel(jnp.asarray(x), jnp.asarray(y)))
+        np.testing.assert_allclose(our_gram, ref_gram, **_tol_for(our_kernel))
+
+    def test_module_kernel(self, rng):
+        lin = torch.nn.Linear(25, 5, bias=False).double()
+        weight = lin.weight.detach().numpy()
+        ref_kernel = ref_kernels.ModuleKernel(lin)
+        our_kernel = our_kernels.ModuleKernel(
+            lambda v: v @ jnp.asarray(weight).T
+        )
+        x = rng.normal(size=(10, 25))
+        y = rng.normal(size=(7, 25))
+        np.testing.assert_allclose(
+            np.asarray(our_kernel(jnp.asarray(x), jnp.asarray(y))),
+            ref_kernel(_t(x), _t(y)).detach().numpy(),
+            **TOL,
+        )
+
+
+class TestKETKFParity:
+    @pytest.mark.parametrize(
+        "ref_kernel,our_kernel", _kernel_pairs()[:8],
+        ids=lambda k: type(k).__name__,
+    )
+    def test_weights(self, rng, ref_kernel, our_kernel):
+        perts, innov = _obs_space(rng)
+        ref = RefKETKF(kernel=ref_kernel, inf_factor=torch.tensor(1.1, dtype=torch.float64))
+        ref_w = ref(_t(perts), _t(innov)).detach().numpy()
+        ours = ketkf_weights(
+            jnp.asarray(perts), jnp.asarray(innov), our_kernel, 1.1
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref_w, **_tol_for(our_kernel))
+
+
+# ---------------------------------------------------------------------- IEnKS
+def _random_weights(rng, ens_size=10):
+    """A well-conditioned non-trivial weight matrix (prior + small update)."""
+    w = np.eye(ens_size) + 0.1 * rng.normal(size=(ens_size, ens_size))
+    return w
+
+
+class TestIEnKSParity:
+    @pytest.mark.parametrize("tau", [1.0, 0.5])
+    def test_transform_step(self, rng, tau):
+        perts, innov = _obs_space(rng)
+        weights = _random_weights(rng)
+        ref = RefIEnKSTransform(tau=torch.tensor(float(tau), dtype=torch.float64))
+        ref_w = ref(
+            weights=_t(weights),
+            normed_perts=_t(perts),
+            normed_obs=_t(innov),
+        ).detach().numpy()
+        ours = ienks_transform_step(
+            jnp.asarray(weights), jnp.asarray(perts), jnp.asarray(innov), tau
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref_w, **TOL)
+
+    @pytest.mark.parametrize("epsilon", [1e-4, 0.1])
+    def test_bundle_step(self, rng, epsilon):
+        perts, innov = _obs_space(rng)
+        weights = _random_weights(rng)
+        ref = RefIEnKSBundle(
+            tau=torch.tensor(1.0, dtype=torch.float64), epsilon=torch.tensor(float(epsilon), dtype=torch.float64)
+        )
+        ref_w = ref(
+            weights=_t(weights),
+            normed_perts=_t(perts),
+            normed_obs=_t(innov),
+        ).detach().numpy()
+        ours = ienks_bundle_step(
+            jnp.asarray(weights), jnp.asarray(perts), jnp.asarray(innov),
+            1.0, epsilon,
+        )
+        # the bundle linearization scales dH/dW by 1/epsilon, so the updated
+        # precision matrix carries an epsilon^-2 (up to 1e8) factor that
+        # amplifies last-ulp SVD differences between LAPACK backends; 1e-7
+        # relative is working precision for the small epsilon case.
+        tol = TOL if epsilon > 1e-2 else dict(rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(ours), ref_w, **tol)
+
+
+# --------------------------------------------------------------- localization
+class TestLocalizationParity:
+    def test_gaspari_cohn(self, rng):
+        grid = rng.uniform(0, 100, size=(50, 1))
+        obs = rng.uniform(0, 100, size=(40, 1))
+
+        def np_dist(x, y):
+            return np.abs(y - x).T  # [n_dim, o]
+
+        def jnp_dist(x, y):
+            return jnp.abs(y - x[None, :]).T
+
+        ref_loc = RefGaspariCohn((15.0,), dist_func=np_dist)
+        ours = GaspariCohn((15.0,), jnp_dist)
+        for g in grid[:10]:
+            ref_use, ref_w = ref_loc.localize_obs(g, obs)
+            our_use, our_w = ours.localize_obs(jnp.asarray(g), jnp.asarray(obs))
+            np.testing.assert_array_equal(np.asarray(our_use), ref_use)
+            np.testing.assert_allclose(
+                np.asarray(our_w)[np.asarray(our_use)],
+                ref_w[ref_use],
+                **TOL,
+            )
+
+    def test_gaspari_cohn_inf(self, rng):
+        grid = rng.uniform(0, 100, size=(10, 1))
+        obs = rng.uniform(0, 100, size=(40, 1))
+
+        def np_dist(x, y):
+            return np.abs(y - x).reshape(-1)
+
+        def jnp_dist(x, y):
+            return jnp.abs(y - x[None, :]).reshape(-1)
+
+        ref_loc = RefGaspariCohnInf(20.0, dist_func=np_dist)
+        ours = GaspariCohnInf(20.0, jnp_dist)
+        for g in grid:
+            # the reference sizes its weight array by ``obs_grid.shape[-1]``
+            # (gaspari_cohn.py:237), i.e. it expects a flat [o] obs grid
+            ref_use, ref_w = ref_loc.localize_obs(g, obs[:, 0])
+            our_use, our_w = ours.localize_obs(jnp.asarray(g), jnp.asarray(obs))
+            np.testing.assert_array_equal(np.asarray(our_use), ref_use)
+            np.testing.assert_allclose(
+                np.asarray(our_w)[np.asarray(our_use)],
+                ref_w[ref_use],
+                **TOL,
+            )
+
+
+# --------------------------------------------------------------------- models
+class TestModelParity:
+    def test_lorenz96_derivative(self, rng):
+        state = rng.normal(size=(5, 40))
+        ref = RefLorenz96(forcing=8.0)
+        ours = Lorenz96(forcing=8.0)
+        np.testing.assert_allclose(
+            np.asarray(ours(jnp.asarray(state))),
+            ref(_t(state)).numpy(),
+            **TOL,
+        )
+
+    def test_lorenz84_derivative(self, rng):
+        state = rng.normal(size=(5, 3))
+        ref = RefLorenz84()
+        ours = Lorenz84()
+        np.testing.assert_allclose(
+            np.asarray(ours(jnp.asarray(state))),
+            ref(_t(state)).numpy(),
+            **TOL,
+        )
+
+    def test_rk4_lorenz96_trajectory(self, rng):
+        state = rng.normal(size=(5, 40))
+        ref_int = RefRK4(RefLorenz96(forcing=8.0), dt=0.05)
+        our_int = RK4Integrator(Lorenz96(forcing=8.0), dt=0.05)
+        ref_state, our_state = _t(state), jnp.asarray(state)
+        for _ in range(20):
+            ref_state = ref_int.integrate(ref_state)
+            our_state = our_int.integrate(our_state)
+        np.testing.assert_allclose(
+            np.asarray(our_state), ref_state.numpy(), **TOL
+        )
+
+    def test_rk4_lorenz84_trajectory(self, rng):
+        state = rng.normal(size=(7, 3))
+        ref_int = RefRK4(RefLorenz84(), dt=0.01)
+        our_int = RK4Integrator(Lorenz84(), dt=0.01)
+        ref_state, our_state = _t(state), jnp.asarray(state)
+        for _ in range(50):
+            ref_state = ref_int.integrate(ref_state)
+            our_state = our_int.integrate(our_state)
+        np.testing.assert_allclose(
+            np.asarray(our_state), ref_state.numpy(), **TOL
+        )
+
+
+# ------------------------------------------------- end-to-end localized LETKF
+class TestLocalizedAnalysisParity:
+    """Our fused LETKF analysis vs a per-gridpoint loop through the reference
+    torch core with reference localization — the reference's own execution
+    model (pytassim/interface/letkf.py:127-143 + wrapper.py:66-99)."""
+
+    def test_letkf_analysis(self, rng):
+        ens_size, len_grid, n_obs, radius = 10, 64, 24, 6.0
+        state = rng.normal(size=(ens_size, len_grid))
+        obs_idx = np.sort(rng.choice(len_grid, size=n_obs, replace=False))
+        obs_vals = rng.normal(size=n_obs)
+        obs_var = np.full(n_obs, 0.5)
+        grid_coords = np.arange(len_grid, dtype=np.float64)[:, None]
+        obs_coords = grid_coords[obs_idx]
+
+        # ----- reference-style loop (torch core + reference GC localization)
+        rcinv = 1.0 / np.sqrt(obs_var)
+        ens_obs = state[:, obs_idx]
+        mean_obs = ens_obs.mean(axis=0)
+        perts = (ens_obs - mean_obs) * rcinv
+        innov = (obs_vals - mean_obs) * rcinv
+        ref_loc = RefGaspariCohn(
+            (radius,), dist_func=lambda x, y: np.abs(y - x).T
+        )
+        ref_module = RefETKF(inf_factor=torch.tensor(1.1, dtype=torch.float64))
+        state_mean = state.mean(axis=0)
+        state_perts = state - state_mean
+        expected = np.empty_like(state)
+        for g in range(len_grid):
+            use, w = ref_loc.localize_obs(grid_coords[g], obs_coords)
+            sw = np.sqrt(w[use])
+            wmat = ref_module(
+                _t(perts[:, use] * sw), _t(innov[None, use] * sw)
+            ).detach().numpy()
+            expected[:, g] = state_mean[g] + state_perts[:, g] @ wmat
+
+        # ----- ours: one jitted fused analysis
+        from tpu_assim.analysis import make_letkf_analysis
+        from tpu_assim.ops.localization import GaspariCohn as OurGC
+
+        def dist_fn(grid_coord, obs_info):
+            return jnp.abs(obs_info[:, 1] - grid_coord[1])[None, :]
+
+        analyse = make_letkf_analysis(
+            OurGC((radius,), dist_fn), inf_factor=1.1
+        )
+        ours = analyse(
+            jnp.asarray(state), jnp.asarray(obs_vals), jnp.asarray(obs_var),
+            jnp.asarray(obs_idx), jnp.asarray(grid_coords),
+            jnp.asarray(obs_coords),
+        )
+        np.testing.assert_allclose(np.asarray(ours), expected, **TOL)
