@@ -1,0 +1,254 @@
+"""
+Obs-sharded LETKF with ICI halo exchange.
+
+The reference replicates the full observation arrays to every dask chunk
+(/root/reference/pytassim/interface/letkf.py:122-123 chunks obs as single
+whole chunks) — O(n_obs) memory and broadcast traffic per worker. On a TPU
+mesh we can do strictly better: domain localization bounds the obs support of
+every analysis column to ``2 x`` the Gaspari-Cohn radius (the taper is
+exactly zero beyond, ops/localization.py), so a grid shard only ever needs
+observations from its own region plus a bounded *halo* of neighboring shards.
+
+Design (the ring-attention-shaped component of SURVEY §5.7/§7.4):
+
+1. **Host-side bucketing** (:func:`shard_observations`): observations are
+   assigned to the shard that owns their grid region and padded to a common
+   per-shard count — static shapes, validity carried by a mask row.
+2. **Local obs-space computation**: each shard gathers its *local* ensemble
+   obs equivalents from its own grid block (observations are co-located with
+   the columns they observe), so normalization never touches remote state.
+3. **Halo exchange**: each shard ppermutes its packed obs block
+   ``[k perts | innovation | validity | coords]`` to its ``halo_width``
+   neighbors on each side — pure neighbor traffic on the ICI ring, no
+   all-gather, no host.
+4. **Local solve**: taper + fixed-size neighborhood selection + batched
+   weight solve + weight application, all shard-local.
+
+Exactness: a halo of width ``h`` is exact iff every observation with nonzero
+taper weight for a local column lies within ``h`` shards — i.e.
+``h >= ceil(cutoff / shard_span)`` (:func:`halo_width_for`). Ring wraparound
+is harmless for non-periodic domains: wrapped candidates sit far away, get
+taper weight exactly 0, and are never selected.
+"""
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpu_assim.ops.etkf import letkf_weights_nbh
+
+__all__ = [
+    "shard_observations",
+    "halo_width_for",
+    "halo_letkf_analysis",
+]
+
+
+def halo_width_for(radius: float, shard_span: float) -> int:
+    """Number of neighbor shards (per side) that can hold nonzero-taper
+    observations: the Gaspari-Cohn support is ``2 * radius``
+    (ops/localization.py; reference polynomials cut at z=2,
+    pytassim/localization/gaspari_cohn.py:86-95), a shard spans
+    ``shard_span`` in distance units."""
+    return max(1, int(math.ceil(2.0 * radius / shard_span)))
+
+
+def shard_observations(
+    obs_vals: np.ndarray,
+    obs_var: np.ndarray,
+    obs_idx: np.ndarray,
+    obs_coords: np.ndarray,
+    n_grid: int,
+    n_shards: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Bucket observations by owning grid shard and pad to a static
+    per-shard count.
+
+    Observations are owned by the shard whose grid block contains their
+    observed column (``obs_idx // shard_size``). Padded slots carry
+    ``valid = 0`` and point at local column 0.
+
+    Parameters
+    ----------
+    obs_vals / obs_var : [o] values and diagonal variances.
+    obs_idx : [o] int observed grid columns.
+    obs_coords : [o, d] obs coordinates.
+    n_grid : total grid size (must divide evenly by ``n_shards``).
+    n_shards : number of grid shards.
+
+    Returns
+    -------
+    (vals [s*p], var [s*p], local_idx [s*p], coords [s*p, d], valid [s*p],
+     obs_per_shard p) — flat arrays whose leading dim shards evenly over the
+    mesh grid axis.
+    """
+    if n_grid % n_shards:
+        raise ValueError("n_grid must divide evenly over n_shards")
+    shard_size = n_grid // n_shards
+    owner = np.asarray(obs_idx) // shard_size
+    counts = np.bincount(owner, minlength=n_shards)
+    obs_per_shard = int(counts.max())
+    d = obs_coords.shape[1]
+    vals = np.zeros((n_shards, obs_per_shard), dtype=obs_vals.dtype)
+    var = np.ones((n_shards, obs_per_shard), dtype=obs_var.dtype)
+    lidx = np.zeros((n_shards, obs_per_shard), dtype=np.int32)
+    coords = np.zeros((n_shards, obs_per_shard, d), dtype=obs_coords.dtype)
+    valid = np.zeros((n_shards, obs_per_shard), dtype=obs_vals.dtype)
+    fill = np.zeros(n_shards, dtype=np.int64)
+    for o in range(len(obs_vals)):
+        s = owner[o]
+        j = fill[s]
+        vals[s, j] = obs_vals[o]
+        var[s, j] = obs_var[o]
+        lidx[s, j] = obs_idx[o] - s * shard_size
+        coords[s, j] = obs_coords[o]
+        valid[s, j] = 1.0
+        fill[s] += 1
+    return (
+        vals.reshape(-1),
+        var.reshape(-1),
+        lidx.reshape(-1),
+        coords.reshape(-1, d),
+        valid.reshape(-1),
+        obs_per_shard,
+    )
+
+
+def _ring_halo(packed: jnp.ndarray, axis_name: str, n_shards: int,
+               halo_width: int) -> jnp.ndarray:
+    """Concatenate a shard's packed obs block with its halo neighbors'
+    blocks via ring ppermutes (neighbor-hop traffic on ICI). packed is
+    [rows, o_ps]; returns [rows, (2*halo_width + 1) * o_ps]."""
+    blocks = [packed]
+    for h in range(1, halo_width + 1):
+        right = jax.lax.ppermute(
+            packed, axis_name,
+            perm=[(i, (i + h) % n_shards) for i in range(n_shards)],
+        )
+        left = jax.lax.ppermute(
+            packed, axis_name,
+            perm=[(i, (i - h) % n_shards) for i in range(n_shards)],
+        )
+        blocks.extend([right, left])
+    return jnp.concatenate(blocks, axis=-1)
+
+
+def halo_letkf_analysis(
+    mesh: Mesh,
+    localization,
+    max_obs: int,
+    halo_width: int = 1,
+    inf_factor: float = 1.0,
+    method: str = "eigh",
+    newton_iters: int = 25,
+    axis_name: str = "grid",
+    use_pallas: bool = False,
+) -> Callable:
+    """Build a jitted obs-sharded LETKF analysis over ``mesh``.
+
+    Returns
+    -------
+    analysis_fn(state_data [k, g], obs_vals [s*p], obs_var [s*p],
+                obs_local_idx [s*p], obs_coords [s*p, d], obs_valid [s*p],
+                grid_coords [g, d]) -> analysis [k, g]
+
+    with the obs arrays produced by :func:`shard_observations` (leading dim
+    sharded over the grid mesh axis alongside the state's grid dim).
+
+    Each shard computes its local obs-space perturbations/innovations from
+    its own state block, halo-exchanges them, tapers + neighborhood-selects
+    its ``max_obs`` strongest candidates per column, and solves/applies
+    locally. With ``halo_width >= halo_width_for(radius, shard_span)`` the
+    result is exactly the replicated-obs analysis.
+    """
+    n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+    def local_fn(state_loc, vals, var, lidx, ocoords, valid, gcoords, rho):
+        k = state_loc.shape[0]
+        # local obs equivalents from the local grid block
+        ens_obs = jnp.take(state_loc, lidx, axis=-1)          # [k, o_ps]
+        rcinv = 1.0 / jnp.sqrt(var)
+        mean = jnp.mean(ens_obs, axis=0, keepdims=True)
+        perts = (ens_obs - mean) * rcinv * valid              # [k, o_ps]
+        innov = (vals - mean[0]) * rcinv * valid              # [o_ps]
+        # pack [perts | innov | valid | coords^T] and halo-exchange
+        packed = jnp.concatenate(
+            [perts, innov[None, :], valid[None, :], ocoords.T], axis=0
+        )
+        cand = _ring_halo(packed, axis_name, n_shards, halo_width)
+        c_perts = cand[:k]
+        c_innov = cand[k]
+        c_valid = cand[k + 1]
+        c_coords = cand[k + 2:].T                             # [c, d]
+        # taper against local columns; invalid slots get weight 0
+        grid_info = jnp.concatenate(
+            [jnp.zeros((gcoords.shape[0], 1), gcoords.dtype), gcoords],
+            axis=1,
+        )
+        obs_info = jnp.concatenate(
+            [jnp.zeros((c_coords.shape[0], 1), c_coords.dtype), c_coords],
+            axis=1,
+        )
+        w_loc = localization.taper_weights(grid_info, obs_info)
+        w_loc = w_loc * c_valid[None, :]
+
+        n_cand = w_loc.shape[-1]
+        kk = min(max_obs, n_cand)
+        top_w, top_idx = jax.lax.top_k(w_loc, kk)
+        if kk < max_obs:
+            pad = max_obs - kk
+            top_w = jnp.pad(top_w, ((0, 0), (0, pad)))
+            top_idx = jnp.pad(top_idx, ((0, 0), (0, pad)))
+
+        mean_s = jnp.mean(state_loc, axis=0)
+        sp = state_loc - mean_s[None, :]
+        if use_pallas:
+            from tpu_assim.ops.pallas.letkf import letkf_nbh_analysis_fused
+
+            sw = jnp.sqrt(top_w).astype(c_perts.dtype)
+            zh = c_perts[:, top_idx].transpose(1, 2, 0) * sw[:, :, None]
+            yh = c_innov[top_idx] * sw
+            reg = jnp.asarray((k - 1) / inf_factor, c_perts.dtype)
+            out = letkf_nbh_analysis_fused(
+                zh, yh, sp.T, mean_s, reg, k, num_iters=newton_iters
+            )
+            return out.T.astype(state_loc.dtype)
+        weights = letkf_weights_nbh(
+            c_perts, c_innov, top_idx.astype(jnp.int32),
+            top_w.astype(c_perts.dtype), rho,
+            method=method, newton_iters=newton_iters,
+        )
+        return mean_s[None, :] + jnp.einsum(
+            "kg,gkm->mg", sp, weights, precision=jax.lax.Precision.HIGHEST
+        )
+
+    sharded = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis_name),   # state [k, g]
+            P(axis_name),         # obs vals
+            P(axis_name),         # obs var
+            P(axis_name),         # obs local idx
+            P(axis_name, None),   # obs coords
+            P(axis_name),         # obs valid
+            P(axis_name, None),   # grid coords
+            P(),                  # rho
+        ),
+        out_specs=P(None, axis_name),
+    )
+
+    @jax.jit
+    def analysis_fn(state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
+                    obs_valid, grid_coords):
+        return sharded(
+            state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
+            obs_valid, grid_coords,
+            jnp.asarray(inf_factor, state_data.dtype),
+        )
+
+    return analysis_fn
