@@ -104,12 +104,14 @@ def main():
     loc = GaspariCohn((radius,), dist_fn)
     # Fast path: fixed-size obs neighborhoods (radius 20 -> cutoff 2r=40,
     # obs spacing 10 -> at most 9 nonzero-weight obs per column, so
-    # max_obs=16 is exact, not an approximation) + the fused Pallas
-    # solve+apply kernel (ops/pallas/letkf.py): Woodbury dual-space
-    # Newton-Schulz, fully VMEM-resident, one HBM round-trip.
+    # max_obs=16 is exact, not an approximation), chosen by sorted-coordinate
+    # window (exact for this 1-D layout, O(g*nb) instead of O(g*o)+top_k),
+    # solved+applied by the fused lane-major Chebyshev/Clenshaw Pallas kernel
+    # (ops/pallas/letkf.py:letkf_nbh_analysis_cheb; ~3e-6 relative to the
+    # f64 eigh path on this workload).
     analyse = make_letkf_analysis(
         loc, inf_factor=inf, chunksize=None,
-        method="pallas", newton_iters=10, max_obs=16,
+        method="cheb", max_obs=16, selection="window",
     )
     args = tuple(
         jnp.asarray(a)
@@ -117,19 +119,25 @@ def main():
     )
     import numpy as _np
 
-    # warmup/compile; the host copy forces real completion
-    # (block_until_ready returns early on the axon tunnel backend).
-    _np.asarray(analyse(*args))
-    # steady-state timing: chain reps on device, one small D2H at the end;
-    # best of several trials (the first post-compile executions and the
-    # tunnel's background traffic add multi-ms noise).
-    reps, trials = 10, 4
+    # Steady-state throughput: each rep feeds a data-dependent perturbation
+    # of the state back into the next analysis (so XLA cannot hoist or fuse
+    # across reps), all reps stay on device, and one scalar D2H closes the
+    # chain — this measures the analysis itself, not host dispatch or the
+    # axon-tunnel copy latency. Best of several trials.
+    @jax.jit
+    def chained(acc):
+        out = analyse(args[0] + acc * 1e-9, *args[1:])
+        return jnp.sum(out) * 1e-12
+
+    _np.asarray(chained(jnp.asarray(0.0, args[0].dtype)))  # warmup/compile
+    reps, trials = 20, 4
     times = []
-    for trial in range(trials):
+    for _trial in range(trials):
+        acc = jnp.asarray(0.0, args[0].dtype)
         t0 = time.perf_counter()
-        for i in range(reps):
-            out = analyse(args[0] + 1e-6 * (trial * reps + i), *args[1:])
-        _np.asarray(out)
+        for _ in range(reps):
+            acc = chained(acc)
+        _np.asarray(acc)
         times.append((time.perf_counter() - t0) / reps)
     tpu_time = min(times)
     tpu_gps = len_grid / tpu_time

@@ -383,3 +383,123 @@ class TestPallasFusedKernel:
         assert big.shape == (g, k)
         np.testing.assert_allclose(np.asarray(big), np.asarray(one),
                                    atol=1e-5)
+
+
+class TestPallasChebKernel:
+    """The Chebyshev/Clenshaw lane-major kernel (interpret mode on CPU) must
+    reproduce the weights-then-apply reference composition."""
+
+    def _reference(self, perts, obs, idx, w, state, inf):
+        from tpu_assim.ops.etkf import letkf_weights_nbh
+
+        wmat = letkf_weights_nbh(
+            jnp.asarray(perts), jnp.asarray(obs), jnp.asarray(idx),
+            jnp.asarray(w), inf, method="eigh",
+        )
+        mean = state.mean(0)
+        sp = state - mean
+        return mean + np.einsum("kg,gkm->mg", sp, np.asarray(wmat))
+
+    def test_cheb_matches_reference(self, rng):
+        from tpu_assim.ops.pallas.letkf import letkf_nbh_analysis_cheb
+
+        k, l, g, nb, inf = 12, 50, 37, 8, 1.1
+        perts = rng.randn(k, l).astype("f4")
+        obs = rng.randn(l).astype("f4")
+        idx = rng.randint(0, l, size=(g, nb)).astype("i4")
+        w = rng.rand(g, nb).astype("f4")
+        w[:, 6:] = 0.0
+        state = rng.randn(k, g).astype("f4")
+        ref = self._reference(perts, obs, idx, w, state, inf)
+        sw = np.sqrt(w)
+        zh = np.transpose(perts[:, idx], (2, 0, 1)) * sw.T[:, None, :]
+        yh = obs[idx].T * sw.T
+        mean = state.mean(0)
+        sp = state - mean
+        reg = jnp.asarray((k - 1) / inf, jnp.float32)
+        out = letkf_nbh_analysis_cheb(
+            jnp.asarray(zh), jnp.asarray(yh), jnp.asarray(sp),
+            jnp.asarray(mean), reg, k, degree=14, tile=16, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+    def test_all_zero_weights_gives_inflated_prior(self, rng):
+        """Empty-neighborhood columns degenerate to sqrt(rho)-inflated
+        perturbations about the unchanged mean (reference empty-obs path,
+        core/etkf.py:91-95) — exactly, despite the Chebyshev interval
+        floor."""
+        from tpu_assim.ops.pallas.letkf import letkf_nbh_analysis_cheb
+
+        k, g, nb, inf = 8, 9, 5, 1.21
+        zh = np.zeros((nb, k, g), dtype="f4")
+        yh = np.zeros((nb, g), dtype="f4")
+        state = rng.randn(k, g).astype("f4")
+        mean = state.mean(0)
+        sp = state - mean
+        reg = jnp.asarray((k - 1) / inf, jnp.float32)
+        out = letkf_nbh_analysis_cheb(
+            jnp.asarray(zh), jnp.asarray(yh), jnp.asarray(sp),
+            jnp.asarray(mean), reg, k, degree=10, tile=8, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), mean + np.sqrt(inf) * sp, rtol=1e-5, atol=1e-6
+        )
+
+
+class TestWindowSelection:
+    """Sorted-coordinate window neighborhoods == top-k neighborhoods for 1-D
+    monotone layouts (ops/localization.py:neighborhood_select_window)."""
+
+    def test_window_equals_topk_weights(self, rng):
+        from tpu_assim.ops.localization import (
+            GaspariCohn,
+            neighborhood_select,
+            neighborhood_select_window,
+        )
+
+        g, o, radius, nb = 200, 50, 6.0, 12
+        grid_x = np.arange(g, dtype=np.float64)
+        obs_x = np.sort(rng.uniform(0, g, size=o))
+
+        def dist(gc, oi):
+            return jnp.abs(oi[:, 1] - gc[1])[None, :]
+
+        loc = GaspariCohn((radius,), dist)
+        gi = jnp.asarray(np.stack([np.zeros(g), grid_x], 1))
+        oi = jnp.asarray(np.stack([np.zeros(o), obs_x], 1))
+        idx_t, w_t = neighborhood_select(loc, gi, oi, nb)
+        idx_w, w_w = neighborhood_select_window(loc, gi, oi, nb)
+        # same *sets* of (index, weight) pairs per column wherever weights
+        # are nonzero (orderings differ: top-k sorts by weight, window by
+        # coordinate)
+        for c in range(0, g, 17):
+            top = {(int(i), round(float(w), 10))
+                   for i, w in zip(idx_t[c], w_t[c]) if w > 0}
+            win = {(int(i), round(float(w), 10))
+                   for i, w in zip(idx_w[c], w_w[c]) if w > 0}
+            assert top == win
+
+    def test_window_analysis_equals_topk_analysis(self, rng):
+        from tpu_assim.analysis import make_letkf_analysis
+        from tpu_assim.ops.localization import GaspariCohn
+
+        ens, g, o = 8, 96, 24
+        state = rng.normal(size=(ens, g))
+        obs_idx = np.sort(rng.choice(g, size=o, replace=False))
+        obs_vals = rng.normal(size=o)
+        obs_var = rng.uniform(0.5, 1.5, size=o)
+        grid_coords = np.arange(g, dtype=np.float64)[:, None]
+        obs_coords = grid_coords[obs_idx]
+
+        def dist(gc, oi):
+            return jnp.abs(oi[:, 1] - gc[1])[None, :]
+
+        loc = GaspariCohn((5.0,), dist)
+        args = tuple(jnp.asarray(a) for a in (
+            state, obs_vals, obs_var, obs_idx, grid_coords, obs_coords))
+        a_topk = make_letkf_analysis(loc, 1.1, max_obs=16,
+                                     selection="topk")(*args)
+        a_win = make_letkf_analysis(loc, 1.1, max_obs=16,
+                                    selection="window")(*args)
+        np.testing.assert_allclose(np.asarray(a_win), np.asarray(a_topk),
+                                   rtol=1e-10, atol=1e-10)

@@ -23,7 +23,10 @@ from tpu_assim.ops.etkf import (
     letkf_weights_nbh,
     etkf_weights,
 )
-from tpu_assim.ops.localization import neighborhood_select
+from tpu_assim.ops.localization import (
+    neighborhood_select,
+    neighborhood_select_window,
+)
 
 __all__ = ["make_letkf_analysis", "make_etkf_analysis", "make_cycle_step"]
 
@@ -50,6 +53,8 @@ def make_letkf_analysis(
     method: str = "eigh",
     newton_iters: int = 25,
     max_obs: Optional[int] = None,
+    cheb_degree: int = 12,
+    selection: str = "topk",
 ):
     """Build a jitted single-cycle LETKF analysis.
 
@@ -81,6 +86,15 @@ def make_letkf_analysis(
     the full 4-D state path use :class:`tpu_assim.interface.LETKF`.
     """
 
+    def _select(grid_info, obs_info):
+        if selection == "window":
+            # exact for sorted 1-D obs coordinates (see
+            # neighborhood_select_window); O(g*nb) instead of O(g*o)+top_k
+            return neighborhood_select_window(
+                localization, grid_info, obs_info, max_obs
+            )
+        return neighborhood_select(localization, grid_info, obs_info, max_obs)
+
     @jax.jit
     def analysis_fn(state_data, obs_vals, obs_var, obs_idx, grid_coords,
                     obs_coords):
@@ -101,6 +115,28 @@ def make_letkf_analysis(
              obs_coords], axis=1,
         )
 
+        if method == "cheb" and localization is not None and (
+            max_obs is not None
+        ):
+            # Fastest fused path: Chebyshev/Clenshaw lane-major kernel —
+            # the matrix functions are applied to single vectors per column
+            # (ops/pallas/letkf.py:letkf_nbh_analysis_cheb).
+            from tpu_assim.ops.pallas.letkf import letkf_nbh_analysis_cheb
+
+            idx, w_nbh = _select(grid_info, obs_info)
+            sw = jnp.sqrt(w_nbh).astype(perts.dtype)          # [g, nb]
+            zh = perts[:, idx].transpose(2, 0, 1) * sw.T[:, None, :]
+            yh = innov[idx].T * sw.T                          # [nb, g]
+            mean = jnp.mean(state_data, axis=0)
+            sp = state_data - mean[None, :]
+            reg = jnp.asarray(
+                (state_data.shape[0] - 1) / inf_factor, perts.dtype
+            )
+            return letkf_nbh_analysis_cheb(
+                zh, yh, sp, mean, reg, state_data.shape[0],
+                degree=cheb_degree,
+            )
+
         if method == "pallas" and localization is not None and (
             max_obs is not None
         ):
@@ -109,9 +145,7 @@ def make_letkf_analysis(
             # one HBM round-trip (ops/pallas/letkf.py).
             from tpu_assim.ops.pallas.letkf import letkf_nbh_analysis_fused
 
-            idx, w_nbh = neighborhood_select(
-                localization, grid_info, obs_info, max_obs
-            )
+            idx, w_nbh = _select(grid_info, obs_info)
             sw = jnp.sqrt(w_nbh).astype(perts.dtype)
             zh = perts[:, idx].transpose(1, 2, 0) * sw[:, :, None]
             yh = innov[idx] * sw
@@ -128,9 +162,7 @@ def make_letkf_analysis(
 
         def chunk_fn(g_chunk):
             if localization is not None and max_obs is not None:
-                idx, w_nbh = neighborhood_select(
-                    localization, g_chunk, obs_info, max_obs
-                )
+                idx, w_nbh = _select(g_chunk, obs_info)
                 return letkf_weights_nbh(
                     perts, innov, idx, w_nbh.astype(perts.dtype),
                     jnp.asarray(inf_factor, dtype=perts.dtype),
@@ -164,6 +196,15 @@ def make_etkf_analysis(inf_factor: float = 1.0,
                        obs_operator: Optional[Callable] = None):
     """Build a jitted global-ETKF analysis with the same signature as
     :func:`make_letkf_analysis` (grid/obs coords ignored)."""
+
+    def _select(grid_info, obs_info):
+        if selection == "window":
+            # exact for sorted 1-D obs coordinates (see
+            # neighborhood_select_window); O(g*nb) instead of O(g*o)+top_k
+            return neighborhood_select_window(
+                localization, grid_info, obs_info, max_obs
+            )
+        return neighborhood_select(localization, grid_info, obs_info, max_obs)
 
     @jax.jit
     def analysis_fn(state_data, obs_vals, obs_var, obs_idx, grid_coords,

@@ -30,6 +30,7 @@ __all__ = [
     "GaspariCohnInf",
     "abs_distance",
     "neighborhood_select",
+    "neighborhood_select_window",
     "periodic_distance",
 ]
 
@@ -155,6 +156,20 @@ class GaspariCohn(BaseLocalization):
         use_obs = weights > self.epsilon
         return use_obs, weights
 
+    def taper_from_dist(self, dist: jnp.ndarray) -> jnp.ndarray:
+        """Apply the GC polynomials to precomputed per-dimension distances
+        ``[..., n_dim, m]`` -> weights ``[..., m]`` (sub-epsilon cut to 0)."""
+        n_dim = dist.shape[-2]
+        weights = jnp.ones(dist.shape[:-2] + dist.shape[-1:], dtype=dist.dtype)
+        for i in range(n_dim):
+            radius = self.radius[i] if i < len(self.radius) else self.radius[-1]
+            z = dist[..., i, :] / radius
+            z_safe = jnp.maximum(z, jnp.finfo(dist.dtype).tiny)
+            w = jnp.where(z < 2.0, self._f2(z_safe), 0.0)
+            w = jnp.where(z < 1.0, self._f1(z), w)
+            weights = weights * w
+        return jnp.where(weights > self.epsilon, weights, 0.0)
+
     def taper_weights(
         self, grid_coords: jnp.ndarray, obs_coords: jnp.ndarray
     ) -> jnp.ndarray:
@@ -168,18 +183,7 @@ class GaspariCohn(BaseLocalization):
         dist = jax.vmap(
             lambda gc: jnp.atleast_2d(self.dist_func(gc, obs_coords))
         )(grid_coords)  # [g, n_dim, o]
-        n_dim = dist.shape[1]
-        weights = jnp.ones(
-            (dist.shape[0], dist.shape[2]), dtype=dist.dtype
-        )
-        for i in range(n_dim):
-            radius = self.radius[i] if i < len(self.radius) else self.radius[-1]
-            z = dist[:, i, :] / radius
-            z_safe = jnp.maximum(z, jnp.finfo(dist.dtype).tiny)
-            w = jnp.where(z < 2.0, self._f2(z_safe), 0.0)
-            w = jnp.where(z < 1.0, self._f1(z), w)
-            weights = weights * w
-        return jnp.where(weights > self.epsilon, weights, 0.0)
+        return self.taper_from_dist(dist)
 
 
 class GaspariCohnInf(BaseLocalization):
@@ -262,6 +266,21 @@ class GaspariCohnInf(BaseLocalization):
         use_obs = weights > self.epsilon
         return use_obs, weights
 
+    def taper_from_dist(self, dist: jnp.ndarray) -> jnp.ndarray:
+        """Apply the GC(z, inf, c) polynomials to precomputed distances
+        ``[..., n_dim, m]`` (single-dim radius: dims are multiplied after
+        per-dim evaluation for API parity with GaspariCohn)."""
+        weights = jnp.ones(dist.shape[:-2] + dist.shape[-1:], dtype=dist.dtype)
+        for i in range(dist.shape[-2]):
+            z = dist[..., i, :] / self.radius
+            z_safe = jnp.maximum(z, jnp.finfo(dist.dtype).tiny)
+            w = jnp.where(z < 2.0, self._f4(z_safe), 0.0)
+            w = jnp.where(z < 1.5, self._f3(z_safe), w)
+            w = jnp.where(z < 1.0, self._f2(z_safe), w)
+            w = jnp.where(z < 0.5, self._f1(z), w)
+            weights = weights * w
+        return jnp.where(weights > self.epsilon, weights, 0.0)
+
     def taper_weights(
         self, grid_coords: jnp.ndarray, obs_coords: jnp.ndarray
     ) -> jnp.ndarray:
@@ -271,13 +290,7 @@ class GaspariCohnInf(BaseLocalization):
         dist = jax.vmap(
             lambda gc: jnp.asarray(self.dist_func(gc, obs_coords)).reshape(-1)
         )(grid_coords)  # [g, o]
-        z = dist / self.radius
-        z_safe = jnp.maximum(z, jnp.finfo(dist.dtype).tiny)
-        weights = jnp.where(z < 2.0, self._f4(z_safe), 0.0)
-        weights = jnp.where(z < 1.5, self._f3(z_safe), weights)
-        weights = jnp.where(z < 1.0, self._f2(z_safe), weights)
-        weights = jnp.where(z < 0.5, self._f1(z), weights)
-        return jnp.where(weights > self.epsilon, weights, 0.0)
+        return self.taper_from_dist(dist[:, None, :])
 
 
 def neighborhood_select(
@@ -312,3 +325,46 @@ def neighborhood_select(
         top_w = jnp.pad(top_w, ((0, 0), (0, pad)))
         top_idx = jnp.pad(top_idx, ((0, 0), (0, pad)))
     return top_idx.astype(jnp.int32), top_w
+
+
+def neighborhood_select_window(
+    localization,
+    grid_coords: jnp.ndarray,
+    obs_coords: jnp.ndarray,
+    max_obs: int,
+    coord_col: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-size obs neighborhoods by sorted-coordinate window — the exact
+    fast path for 1-D domains.
+
+    Requires the observations sorted by the localization coordinate
+    (column ``coord_col`` of ``obs_coords``) and a taper monotone in
+    ``|x - y|`` along that single coordinate. Then the ``max_obs``
+    coordinate-nearest observations form a contiguous window around each
+    column's ``searchsorted`` insertion point, and they are exactly the
+    ``max_obs`` largest-taper-weight observations — the same result as
+    :func:`neighborhood_select`, at O(g * max_obs) taper cost instead of
+    O(g * o) + top_k.
+
+    ``localization`` must expose ``taper_from_dist`` and ``dist_func``
+    (both Gaspari-Cohn classes do).
+
+    Returns ``(idx [g, max_obs] int32, weights [g, max_obs])``.
+    """
+    obs_x = obs_coords[:, coord_col]
+    grid_x = grid_coords[:, coord_col]
+    n_obs = obs_x.shape[0]
+    nb = min(max_obs, n_obs)
+    center = jnp.searchsorted(obs_x, grid_x)
+    start = jnp.clip(center - nb // 2, 0, n_obs - nb)
+    idx = start[:, None] + jnp.arange(nb, dtype=center.dtype)[None, :]
+    sel_info = obs_coords[idx]                             # [g, nb, d]
+    dist = jax.vmap(
+        lambda gc, oi: jnp.atleast_2d(localization.dist_func(gc, oi))
+    )(grid_coords, sel_info)                               # [g, n_dim, nb]
+    weights = localization.taper_from_dist(dist)           # [g, nb]
+    if nb < max_obs:
+        pad = max_obs - nb
+        weights = jnp.pad(weights, ((0, 0), (0, pad)))
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+    return idx.astype(jnp.int32), weights

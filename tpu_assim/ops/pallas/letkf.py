@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["letkf_nbh_analysis_fused"]
+__all__ = ["letkf_nbh_analysis_fused", "letkf_nbh_analysis_cheb"]
 
 
 def _coupled_ns(x, eye, num_iters):
@@ -212,3 +212,181 @@ def letkf_nbh_analysis_fused(
     )(reg_arr, zh.astype(f32), yh.astype(f32), sp.astype(f32),
       mean.astype(f32)[:, None])
     return out[:g]
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev lane-major kernel
+# ---------------------------------------------------------------------------
+#
+# The Newton-Schulz kernel above iterates full nb x nb *matrix* functions,
+# but the analysis only ever needs their action on two vectors per column:
+#
+#     q = X^{-1} yh                      (mean update <u, q>/reg)
+#     v = f(X) u,  f(x) = 1/(sqrt(x) (1 + sqrt(x)))   (perturbation update)
+#
+# with X = I + Zh Zh^T / reg whose spectrum lies in [1, 1 + min(||S||_inf,
+# tr S)/reg]. Both are evaluated with one degree-d Chebyshev expansion each
+# (coefficients computed per column from f at the mapped Chebyshev nodes via
+# a static DCT matmul) and a joint Clenshaw recurrence of batched matvecs —
+# ~15x fewer FLOPs than the matrix iteration.
+#
+# Layout: grid columns live in the LANE dimension ([.., T] with T=128), so
+# every per-column matvec S@v becomes an elementwise multiply + sublane
+# reduction at full VPU width — no 16x128-padded tiny matmuls at all.
+
+
+def _cheb_nodes_dct(degree: int):
+    import numpy as np
+
+    j = np.arange(degree + 1)
+    nodes = np.cos(np.pi * (j + 0.5) / (degree + 1))        # [-1, 1]
+    m = np.arange(degree + 1)[:, None]
+    dct = np.cos(np.pi * m * (j[None, :] + 0.5) / (degree + 1))
+    dct = dct * (2.0 / (degree + 1))
+    dct[0] *= 0.5
+    return nodes.astype(np.float32), dct.astype(np.float32)
+
+
+def _letkf_cheb_kernel(reg_ref, nodes_ref, dct_ref, zh_ref, yh_ref, sp_ref,
+                       mean_ref, out_ref, *, ens_size, degree):
+    """One tile of T grid columns, lane-major ([.., T]).
+
+    zh [nb, k, T] scaled neighborhood perts; yh [nb, T] scaled innovations;
+    sp [k, T] state perturbations; mean [1, T]; out [k, T].
+    """
+    f32 = jnp.float32
+    reg = reg_ref[0]
+    zh = zh_ref[:]
+    yh = yh_ref[:]
+    sp = sp_ref[:]
+    nb = zh.shape[0]
+
+    # S[n, m, c] = sum_k zh[n, k, c] zh[m, k, c]  — nb sublane reductions
+    s = jnp.stack(
+        [jnp.sum(zh[n][None, :, :] * zh, axis=1) for n in range(nb)], axis=0
+    )  # [nb, nb, T]
+
+    # spectral upper bound per column (exact bound; 1.05 floor keeps the
+    # affine map well-conditioned — columns with lam_max below the floor
+    # only get a slightly wider, still-valid interval)
+    inf_norm = jnp.max(jnp.sum(jnp.abs(s), axis=1), axis=0)
+    trace = jnp.sum(jnp.stack([s[n, n] for n in range(nb)], axis=0), axis=0)
+    lam_ub = 1.0 + jnp.minimum(inf_norm, trace) / reg
+    lam_ub = jnp.maximum(lam_ub, 1.05)                       # [T]
+
+    # Chebyshev coefficients of f1(x)=1/x and f2(x)=1/(sqrt(x)(1+sqrt(x)))
+    # on [1, lam_ub], per column: evaluate at mapped nodes, static DCT.
+    t_nodes = nodes_ref[:].reshape(-1, 1)                    # [d+1, 1]
+    half_w = 0.5 * (lam_ub - 1.0)[None, :]
+    x_nodes = (1.0 + half_w) + half_w * t_nodes              # [d+1, T]
+    f1x = 1.0 / x_nodes
+    sq = jnp.sqrt(x_nodes)
+    f2x = 1.0 / (sq * (1.0 + sq))
+    dct_mat = dct_ref[:]                                     # [d+1, d+1]
+    hp = jax.lax.Precision.HIGHEST
+    c1 = jnp.einsum("mj,jc->mc", dct_mat, f1x,
+                    preferred_element_type=f32, precision=hp)
+    c2 = jnp.einsum("mj,jc->mc", dct_mat, f2x,
+                    preferred_element_type=f32, precision=hp)
+
+    # normalized operator: Xt = (2 X - (lam_ub + 1) I) / (lam_ub - 1)
+    a_sc = (2.0 / (lam_ub - 1.0))[None, :]                   # [1, T]
+    b_sc = (-(lam_ub + 1.0) / (lam_ub - 1.0))[None, :]
+
+    def xt(vec):  # [nb, T] -> [nb, T]
+        sv = jnp.sum(s * vec[None, :, :], axis=1)            # S @ vec
+        return a_sc * (vec + sv / reg) + b_sc * vec
+
+    u = jnp.sum(zh * sp[None, :, :], axis=1)                 # [nb, T]
+
+    def clenshaw(coeffs, w_vec):
+        b1 = jnp.zeros_like(w_vec)
+        b2 = jnp.zeros_like(w_vec)
+        for m_i in range(degree, 0, -1):
+            b0 = coeffs[m_i][None, :] * w_vec + 2.0 * xt(b1) - b2
+            b2, b1 = b1, b0
+        return coeffs[0][None, :] * w_vec + xt(b1) - b2
+
+    q = clenshaw(c1, yh)                                     # X^{-1} yh
+    v = clenshaw(c2, u)                                      # f2(X) u
+
+    alpha = jnp.sqrt((ens_size - 1.0) / reg)
+    mean_upd = jnp.sum(u * q, axis=0)[None, :] / reg         # [1, T]
+    zv = jnp.sum(zh * v[:, None, :], axis=0)                 # [k, T]
+    out_ref[:] = mean_ref[:] + mean_upd + alpha * sp - (alpha / reg) * zv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ens_size", "degree", "tile", "interpret"),
+)
+def letkf_nbh_analysis_cheb(
+    zh: jnp.ndarray,
+    yh: jnp.ndarray,
+    sp: jnp.ndarray,
+    mean: jnp.ndarray,
+    reg: jnp.ndarray,
+    ens_size: int,
+    degree: int = 12,
+    tile: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused localized-ETKF analysis, Chebyshev/Clenshaw form (lane-major).
+
+    Parameters
+    ----------
+    zh : [nb, k, g] sqrt(taper-weight)-scaled neighborhood obs perturbations.
+    yh : [nb, g] scaled innovations.
+    sp : [k, g] state ensemble perturbations.
+    mean : [g] state ensemble mean.
+    reg : scalar regularizer ``(K-1)/rho``.
+    ens_size : ensemble size K (static).
+    degree : Chebyshev degree (static; 12 reaches ~1e-6 for the benchmark
+        conditioning, see tests).
+
+    Returns
+    -------
+    analysis : [k, g] analysed ensemble (member-major).
+    """
+    nb, k, g = zh.shape
+    f32 = jnp.float32
+    n_tiles = -(-g // tile)
+    pad = n_tiles * tile - g
+    if pad:
+        zh = jnp.pad(zh, ((0, 0), (0, 0), (0, pad)))
+        yh = jnp.pad(yh, ((0, 0), (0, pad)))
+        sp = jnp.pad(sp, ((0, 0), (0, pad)))
+        mean = jnp.pad(mean, ((0, pad),))
+    reg_arr = jnp.reshape(reg.astype(f32), (1,))
+    nodes, dct = _cheb_nodes_dct(degree)
+
+    kernel = functools.partial(
+        _letkf_cheb_kernel, ens_size=ens_size, degree=degree,
+    )
+    dp1 = degree + 1
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, dp1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp1, dp1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, k, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, n_tiles * tile), f32),
+        interpret=interpret,
+    )(reg_arr, jnp.asarray(nodes)[None, :], jnp.asarray(dct),
+      zh.astype(f32), yh.astype(f32), sp.astype(f32),
+      mean.astype(f32)[None, :])
+    return out[:, :g]
