@@ -86,6 +86,156 @@ def numpy_reference_letkf(state, obs_vals, obs_var, obs_idx, grid_coords,
     return analysis, n_points
 
 
+def _chain_time(step, args, reps=20, trials=3):
+    """Steady-state per-step seconds for ``step(acc, *args)``: data-dependent
+    chaining on device, one scalar D2H per trial (excludes host dispatch /
+    tunnel latency). ``args`` are passed as jit arguments, NOT closed over —
+    closures would bake hundreds of MB of constants into the HLO upload."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    acc0 = jnp.asarray(0.0, jnp.float32)
+    _np.asarray(step(acc0, *args))  # warmup/compile
+    best = float("inf")
+    for _ in range(trials):
+        acc = acc0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            acc = step(acc, *args)
+        _np.asarray(acc)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def run_all_configs():
+    """The five BASELINE.json workloads, one JSON line each."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_assim.analysis import make_etkf_analysis, make_letkf_analysis
+    from tpu_assim.ops.ketkf import ketkf_weights
+    from tpu_assim.ops.kernels import GaussKernel
+    from tpu_assim.ops.localization import GaspariCohn
+
+    import sys
+
+    def progress(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    results = []
+
+    def dist_fn(gc, oi):
+        return jnp.abs(oi[:, 1] - gc[1])[None, :]
+
+    def emit(row):
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    # -- config 1: ETKF global, Lorenz-96 scale (40 vars, 20 members) -----
+    w1 = tuple(jnp.asarray(a) for a in build_workload(20, 40, 20))
+    etkf = make_etkf_analysis(1.1)
+
+    @jax.jit
+    def step1(acc, *w):
+        return jnp.sum(etkf(w[0] + acc * 1e-9, *w[1:])) * 1e-12
+
+    progress("config 1: etkf global...")
+    t1 = _chain_time(step1, w1, reps=50)
+    emit({"metric": "etkf_global_analyses_per_s",
+          "value": round(1.0 / t1, 1),
+          "unit": "analyses/s (ens=20, grid=40, obs=20)"})
+
+    # -- config 2: LETKF benchmark workload (the headline metric) ---------
+    w2 = tuple(jnp.asarray(a) for a in build_workload(40, 10000, 1000))
+    loc2 = GaspariCohn((20.0,), dist_fn)
+    letkf = make_letkf_analysis(loc2, inf_factor=1.1, method="cheb",
+                                max_obs=16, selection="window")
+
+    @jax.jit
+    def step2(acc, *w):
+        return jnp.sum(letkf(w[0] + acc * 1e-9, *w[1:])) * 1e-12
+
+    progress("config 2: letkf bench...")
+    t2 = _chain_time(step2, w2)
+    emit({"metric": "letkf_analysis_grid_points_per_s",
+          "value": round(10000 / t2, 1),
+          "unit": "grid-points/s (ens=40, grid=10000, obs=1000, GC r=20)"})
+
+    # -- config 3: domain-decomposed LETKF over the local device mesh -----
+    from tpu_assim.parallel.halo import (
+        halo_letkf_analysis, halo_width_for, shard_observations)
+    from tpu_assim.parallel.mesh import make_grid_mesh
+
+    n_dev = len(jax.devices())
+    g3 = 10240
+    w3 = build_workload(40, g3, 1024)
+    mesh = make_grid_mesh(n_dev)
+    vals, var, lidx, coords, valid, _ = shard_observations(
+        w3[1], w3[2], w3[3], w3[5], g3, n_dev)
+    halo = halo_letkf_analysis(
+        mesh, GaspariCohn((20.0,), dist_fn), max_obs=16,
+        halo_width=halo_width_for(20.0, g3 / n_dev), inf_factor=1.1,
+        use_pallas=jax.devices()[0].platform != "cpu",
+    )
+    h_args = tuple(jnp.asarray(a)
+                   for a in (w3[0], vals, var, lidx, coords, valid, w3[4]))
+
+    @jax.jit
+    def step3(acc, *w):
+        return jnp.sum(halo(w[0] + acc * 1e-9, *w[1:])) * 1e-12
+
+    progress("config 3: halo sharded...")
+    t3 = _chain_time(step3, h_args)
+    emit({"metric": "letkf_halo_sharded_grid_points_per_s",
+          "value": round(g3 / t3, 1),
+          "unit": "grid-points/s over {0} device(s) "
+                  "(obs-sharded, ICI halo)".format(n_dev)})
+
+    # -- config 4: kernelized ETKF (Gauss kernel) --------------------------
+    w4 = tuple(jnp.asarray(a) for a in build_workload(40, 10000, 1000))
+    kernel = GaussKernel(lengthscale=2.0)
+
+    @jax.jit
+    def step4(acc, *w):
+        state = w[0] + acc * 1e-9
+        ens_obs = jnp.take(state, w[3], axis=-1)
+        rcinv = 1.0 / jnp.sqrt(w[2])
+        mean = jnp.mean(ens_obs, axis=0, keepdims=True)
+        perts = (ens_obs - mean) * rcinv
+        innov = ((w[1] - mean[0]) * rcinv)[None, :]
+        weights = ketkf_weights(perts, innov, kernel, 1.1)
+        sm = jnp.mean(state, axis=0, keepdims=True)
+        out = sm + jnp.einsum("kg,km->mg", state - sm, weights)
+        return jnp.sum(out) * 1e-12
+
+    progress("config 4: ketkf...")
+    t4 = _chain_time(step4, w4)
+    emit({"metric": "ketkf_global_grid_points_per_s",
+          "value": round(10000 / t4, 1),
+          "unit": "grid-points/s (Gauss kernel, ens=40, grid=10000,"
+                  " obs=1000)"})
+
+    # -- config 5: large cycled-DA scale: 100 members, ~1M columns --------
+    g5, o5 = 1 << 20, 1 << 16
+    w5 = tuple(jnp.asarray(a) for a in build_workload(100, g5, o5))
+    letkf5 = make_letkf_analysis(
+        GaspariCohn((20.0,), dist_fn), inf_factor=1.1, method="cheb",
+        max_obs=16, selection="window", chunksize=1 << 17,
+    )
+
+    @jax.jit
+    def step5(acc, *w):
+        return jnp.sum(letkf5(w[0] + acc * 1e-9, *w[1:])) * 1e-12
+
+    progress("config 5: large letkf...")
+    t5 = _chain_time(step5, w5, reps=4, trials=2)
+    emit({"metric": "letkf_large_grid_points_per_s",
+          "value": round(g5 / t5, 1),
+          "unit": "grid-points/s (ens=100, grid=2^20, obs=2^16, GC r=20,"
+                  " chunked)"})
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -164,4 +314,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--all" in sys.argv:
+        run_all_configs()
+    else:
+        main()

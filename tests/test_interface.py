@@ -325,3 +325,29 @@ class TestTransforms:
         np.testing.assert_allclose(
             np.asarray(restored.data), np.asarray(state.data), atol=1e-10
         )
+
+
+class TestLETKFNeighborhoodOption:
+    """LETKF(max_obs=...) through the class API equals the dense LETKF when
+    the neighborhood covers every nonzero-taper obs."""
+
+    def test_max_obs_equals_dense(self, state, obs):
+        from tpu_assim.ops.localization import GaspariCohn
+
+        def dist(gc, oi):
+            return jnp.abs(oi[:, 1] - gc[1])[None, :]
+
+        loc = GaspariCohn((4.0,), dist)
+        dense = LETKF(localization=loc, inf_factor=1.1)
+        nbh = LETKF(localization=loc, inf_factor=1.1, max_obs=32)
+        win = LETKF(localization=loc, inf_factor=1.1, max_obs=32,
+                    selection="window")
+        a_dense = dense.assimilate(state, obs)
+        a_nbh = nbh.assimilate(state, obs)
+        a_win = win.assimilate(state, obs)
+        np.testing.assert_allclose(np.asarray(a_nbh.data),
+                                   np.asarray(a_dense.data),
+                                   rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(a_win.data),
+                                   np.asarray(a_dense.data),
+                                   rtol=1e-10, atol=1e-10)

@@ -123,19 +123,41 @@ def make_letkf_analysis(
             # (ops/pallas/letkf.py:letkf_nbh_analysis_cheb).
             from tpu_assim.ops.pallas.letkf import letkf_nbh_analysis_cheb
 
-            idx, w_nbh = _select(grid_info, obs_info)
-            sw = jnp.sqrt(w_nbh).astype(perts.dtype)          # [g, nb]
-            zh = perts[:, idx].transpose(2, 0, 1) * sw.T[:, None, :]
-            yh = innov[idx].T * sw.T                          # [nb, g]
+            k = state_data.shape[0]
+            reg = jnp.asarray((k - 1) / inf_factor, perts.dtype)
             mean = jnp.mean(state_data, axis=0)
             sp = state_data - mean[None, :]
-            reg = jnp.asarray(
-                (state_data.shape[0] - 1) / inf_factor, perts.dtype
-            )
-            return letkf_nbh_analysis_cheb(
-                zh, yh, sp, mean, reg, state_data.shape[0],
-                degree=cheb_degree,
-            )
+
+            def cheb_chunk(gi_chunk, sp_chunk, mean_chunk):
+                idx, w_nbh = _select(gi_chunk, obs_info)
+                sw = jnp.sqrt(w_nbh).astype(perts.dtype)      # [c, nb]
+                zh = perts[:, idx].transpose(2, 0, 1) * sw.T[:, None, :]
+                yh = innov[idx].T * sw.T                      # [nb, c]
+                return letkf_nbh_analysis_cheb(
+                    zh, yh, sp_chunk, mean_chunk, reg, k,
+                    degree=cheb_degree,
+                )
+
+            g = grid_info.shape[0]
+            if chunksize is None or chunksize >= g:
+                return cheb_chunk(grid_info, sp, mean)
+            # sequential lax.map over grid chunks: bounds the gathered
+            # neighborhood buffers ([chunk, nb, k]) for very large grids
+            # (the reference's dask-chunk analog, letkf.py:121)
+            n_chunks = -(-g // chunksize)
+            pad = n_chunks * chunksize - g
+            gi_p = jnp.pad(grid_info, ((0, pad), (0, 0)))
+            sp_p = jnp.pad(sp, ((0, 0), (0, pad)))
+            mean_p = jnp.pad(mean, ((0, pad),))
+            out = jax.lax.map(
+                lambda c: cheb_chunk(
+                    gi_p.reshape(n_chunks, chunksize, -1)[c],
+                    sp_p.reshape(k, n_chunks, chunksize)[:, c],
+                    mean_p.reshape(n_chunks, chunksize)[c],
+                ),
+                jnp.arange(n_chunks),
+            )  # [n_chunks, k, chunksize]
+            return out.transpose(1, 0, 2).reshape(k, -1)[:, :g]
 
         if method == "pallas" and localization is not None and (
             max_obs is not None

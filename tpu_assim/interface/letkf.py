@@ -32,15 +32,35 @@ from tpu_assim.state import EnsembleState
 __all__ = ["LETKF"]
 
 
-@partial(jax.jit, static_argnums=(0, 1))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _letkf_solve(
-    localization, chunksize, ens_obs_perts, innovations, grid_info, obs_info,
-    inf_factor,
+    localization, chunksize, max_obs, selection,
+    ens_obs_perts, innovations, grid_info, obs_info, inf_factor,
 ):
-    """Jitted localized solve; localization and chunksize are static config
-    (hashable by identity), arrays are traced."""
+    """Jitted localized solve; localization/chunksize/max_obs/selection are
+    static config (hashable by identity/value), arrays are traced."""
+    from tpu_assim.ops.etkf import letkf_weights_nbh
+    from tpu_assim.ops.localization import (
+        neighborhood_select,
+        neighborhood_select_window,
+    )
 
     def chunk_fn(grid_chunk):
+        if localization is not None and max_obs is not None:
+            # fixed-size obs neighborhoods (exact when no column has more
+            # nonzero-taper obs than max_obs; ops/localization.py)
+            if selection == "window":
+                idx, w_nbh = neighborhood_select_window(
+                    localization, grid_chunk, obs_info, max_obs
+                )
+            else:
+                idx, w_nbh = neighborhood_select(
+                    localization, grid_chunk, obs_info, max_obs
+                )
+            return letkf_weights_nbh(
+                ens_obs_perts, innovations, idx,
+                w_nbh.astype(ens_obs_perts.dtype), inf_factor,
+            )
         if localization is None:
             w_loc = jnp.ones(
                 (grid_chunk.shape[0], obs_info.shape[0]),
@@ -81,6 +101,8 @@ class LETKF(DomainLocalizedMixin, ETKF):
         chunksize: Optional[int] = 8192,
         weight_save_path: Optional[str] = None,
         forward_model=None,
+        max_obs: Optional[int] = None,
+        selection: str = "topk",
     ):
         super().__init__(
             inf_factor=inf_factor,
@@ -92,6 +114,8 @@ class LETKF(DomainLocalizedMixin, ETKF):
         )
         self.localization = localization
         self.chunksize = chunksize
+        self.max_obs = max_obs
+        self.selection = selection
 
     def __str__(self):
         return "Localized ETKF(inf_factor={0}, loc={1})".format(
@@ -117,6 +141,8 @@ class LETKF(DomainLocalizedMixin, ETKF):
         return _letkf_solve(
             self.localization,
             self.chunksize,
+            self.max_obs,
+            self.selection,
             ens_obs_perts,
             innovations,
             grid_info,

@@ -240,6 +240,10 @@ def halo_letkf_analysis(
             P(),                  # rho
         ),
         out_specs=P(None, axis_name),
+        # pallas_call outputs carry no varying-mesh-axes metadata; the
+        # manual check is disabled (every output is grid-sharded by
+        # construction of the out_specs)
+        check_vma=False,
     )
 
     @jax.jit
