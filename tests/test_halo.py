@@ -114,3 +114,38 @@ class TestHaloLETKF:
         a2 = halo_letkf_analysis(mesh, loc, max_obs=32, halo_width=2,
                                  inf_factor=1.1)(*args)
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), **TOL)
+
+
+class TestHaloChebKernel:
+    def test_halo_pallas_matches_eigh_path(self, rng, monkeypatch):
+        """The fused cheb kernel inside shard_map reproduces the eigh halo
+        path (f32 kernel => loose tolerance)."""
+        import tpu_assim.ops.pallas.letkf as pk
+
+        orig = pk.letkf_nbh_analysis_cheb
+
+        def interp(*a, **kw):
+            kw["interpret"] = True  # no TPU in the test env
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(pk, "letkf_nbh_analysis_cheb", interp)
+
+        state, obs_vals, obs_var, obs_idx, grid_coords, obs_coords = _workload(
+            rng
+        )
+        loc = GaspariCohn((4.0,), _dist_fn)
+        mesh = make_grid_mesh(4)
+        vals, var, lidx, coords, valid, _ = shard_observations(
+            obs_vals, obs_var, obs_idx, obs_coords, 128, 4
+        )
+        args = (
+            jnp.asarray(state), jnp.asarray(vals), jnp.asarray(var),
+            jnp.asarray(lidx), jnp.asarray(coords), jnp.asarray(valid),
+            jnp.asarray(grid_coords),
+        )
+        a_ref = halo_letkf_analysis(mesh, loc, max_obs=32, halo_width=1,
+                                    inf_factor=1.1)(*args)
+        a_fused = halo_letkf_analysis(mesh, loc, max_obs=32, halo_width=1,
+                                      inf_factor=1.1, use_pallas=True)(*args)
+        np.testing.assert_allclose(np.asarray(a_fused), np.asarray(a_ref),
+                                   rtol=5e-4, atol=5e-5)

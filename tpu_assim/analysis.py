@@ -53,7 +53,7 @@ def make_letkf_analysis(
     method: str = "eigh",
     newton_iters: int = 25,
     max_obs: Optional[int] = None,
-    cheb_degree: int = 12,
+    cheb_degree: int = 16,
     selection: str = "topk",
 ):
     """Build a jitted single-cycle LETKF analysis.

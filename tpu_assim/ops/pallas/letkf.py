@@ -327,7 +327,7 @@ def letkf_nbh_analysis_cheb(
     mean: jnp.ndarray,
     reg: jnp.ndarray,
     ens_size: int,
-    degree: int = 12,
+    degree: int = 16,
     tile: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:

@@ -147,6 +147,7 @@ def halo_letkf_analysis(
     newton_iters: int = 25,
     axis_name: str = "grid",
     use_pallas: bool = False,
+    cheb_degree: int = 16,
 ) -> Callable:
     """Build a jitted obs-sharded LETKF analysis over ``mesh``.
 
@@ -207,16 +208,18 @@ def halo_letkf_analysis(
         mean_s = jnp.mean(state_loc, axis=0)
         sp = state_loc - mean_s[None, :]
         if use_pallas:
-            from tpu_assim.ops.pallas.letkf import letkf_nbh_analysis_fused
+            # fused lane-major Chebyshev kernel (the fast single-chip path,
+            # ops/pallas/letkf.py:letkf_nbh_analysis_cheb) on each shard
+            from tpu_assim.ops.pallas.letkf import letkf_nbh_analysis_cheb
 
-            sw = jnp.sqrt(top_w).astype(c_perts.dtype)
-            zh = c_perts[:, top_idx].transpose(1, 2, 0) * sw[:, :, None]
-            yh = c_innov[top_idx] * sw
+            sw = jnp.sqrt(top_w).astype(c_perts.dtype)        # [g, nb]
+            zh = c_perts[:, top_idx].transpose(2, 0, 1) * sw.T[:, None, :]
+            yh = c_innov[top_idx].T * sw.T                    # [nb, g]
             reg = jnp.asarray((k - 1) / inf_factor, c_perts.dtype)
-            out = letkf_nbh_analysis_fused(
-                zh, yh, sp.T, mean_s, reg, k, num_iters=newton_iters
+            out = letkf_nbh_analysis_cheb(
+                zh, yh, sp, mean_s, reg, k, degree=cheb_degree
             )
-            return out.T.astype(state_loc.dtype)
+            return out.astype(state_loc.dtype)
         weights = letkf_weights_nbh(
             c_perts, c_innov, top_idx.astype(jnp.int32),
             top_w.astype(c_perts.dtype), rho,
