@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""
+Device-scaling harness for the obs-sharded halo LETKF — the analog of the
+reference's worker-scaling benchmark
+(/root/reference/examples/benchmark_efficiency.py:109-142, which measured
+dask/MPI pool workers; here the workers are mesh devices and the program is
+the same SPMD analysis at every size).
+
+On a real pod slice run this unmodified (the mesh spans all chips; add hosts
+with `tpu_assim.parallel.multihost.initialize_multihost`). Without TPU
+hardware it runs on a virtual CPU device mesh:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+    PALLAS_AXON_POOL_IPS= python examples/scaling.py
+
+Prints one JSON line per device count with grid-points/s and parallel
+efficiency vs 1 device. A weak-scaling mode (--weak) grows the grid with the
+device count.
+
+NOTE: virtual CPU "devices" all share the same physical host cores, so
+efficiencies measured that way only validate the mechanics, not the scaling —
+real scaling numbers require real chips (each mesh device its own TPU).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ens", type=int, default=40)
+    p.add_argument("--grid-per-dev", type=int, default=4096)
+    p.add_argument("--obs-frac", type=float, default=0.1)
+    p.add_argument("--radius", type=float, default=20.0)
+    p.add_argument("--max-obs", type=int, default=16)
+    p.add_argument("--weak", action="store_true",
+                   help="weak scaling: grid grows with devices "
+                        "(default: strong scaling on the max-device grid)")
+    p.add_argument("--reps", type=int, default=10)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_workload, _chain_time
+    from tpu_assim.ops.localization import GaspariCohn
+    from tpu_assim.parallel.halo import (
+        halo_letkf_analysis, halo_width_for, shard_observations)
+    from tpu_assim.parallel.mesh import make_grid_mesh
+
+    def dist_fn(gc, oi):
+        return jnp.abs(oi[:, 1] - gc[1])[None, :]
+
+    n_total = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_total]
+    base_gps = None
+    use_pallas = jax.devices()[0].platform == "tpu"
+    for n_dev in sizes:
+        g = args.grid_per_dev * (n_dev if args.weak else n_total)
+        o = int(g * args.obs_frac)
+        w = build_workload(args.ens, g, o)
+        mesh = make_grid_mesh(n_dev)
+        vals, var, lidx, coords, valid, _ = shard_observations(
+            w[1], w[2], w[3], w[5], g, n_dev)
+        analyse = halo_letkf_analysis(
+            mesh, GaspariCohn((args.radius,), dist_fn),
+            max_obs=args.max_obs,
+            halo_width=halo_width_for(args.radius, g / n_dev),
+            inf_factor=1.1, use_pallas=use_pallas,
+        )
+        h_args = tuple(
+            jnp.asarray(a) for a in (w[0], vals, var, lidx, coords, valid,
+                                     w[4]))
+
+        @jax.jit
+        def step(acc, *a):
+            return jnp.sum(analyse(a[0] + acc * 1e-9, *a[1:])) * 1e-12
+
+        t = _chain_time(step, h_args, reps=args.reps, trials=3)
+        gps = g / t
+        per_dev = gps / n_dev
+        if base_gps is None:
+            base_gps = per_dev
+        print(json.dumps({
+            "devices": n_dev,
+            "grid": g,
+            "grid_points_per_s": round(gps, 1),
+            "efficiency_vs_1dev": round(per_dev / base_gps, 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,6 @@ class-based interface layer (:mod:`tpu_assim.interface`) offers the same math
 with the reference's flexible object API.
 """
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_assim.interface.ienks import IEnKSTransform, IEnKSBundle
-from tpu_assim.interface.mixin_local import DomainLocalizedMixin, map_grid_chunked
+from tpu_assim.interface.mixin_local import DomainLocalizedMixin
 from tpu_assim.observation import Observation
 from tpu_assim.ops.ienks import ienks_transform_step, ienks_bundle_step
 from tpu_assim.state import EnsembleState

@@ -8,7 +8,7 @@ trajectory driver that the reference lacks (it loops in Python) — on TPU the
 whole cycled integration compiles to one fused XLA loop.
 """
 
-from typing import Any, Callable, List, Sequence, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ replacement) that localization distance functions consume directly.
 """
 
 import logging
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, Sequence
 
 import numpy as np
 

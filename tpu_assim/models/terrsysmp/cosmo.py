@@ -8,7 +8,7 @@ variables to assimilate, place every vertical coordinate onto one merged
 """
 
 import logging
-from typing import Iterable, Tuple
+from typing import Iterable
 
 import numpy as np
 

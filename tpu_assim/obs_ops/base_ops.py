@@ -9,7 +9,7 @@ callable — here the twin is not a separate implementation, it IS the
 implementation, so the two can never drift.
 """
 
-from typing import Any, Callable, Optional, Union
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,7 @@ lookups the operator precomputes flat gather indices into the stacked
 fully jit/vmap/grad-compatible.
 """
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

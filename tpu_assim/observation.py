@@ -16,7 +16,7 @@ The R^{-1/2} normalization (reference: observation.py:241-295) is:
   here as a batched triangular solve instead of an explicit inverse.
 """
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

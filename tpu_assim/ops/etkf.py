@@ -16,7 +16,7 @@ simply calls the batched localized variant once for the whole grid instead of
 looping per column (reference loop: pytassim/interface/letkf.py:127-143).
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

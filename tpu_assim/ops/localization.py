@@ -18,7 +18,7 @@ Distance functions are user-supplied jnp callables
 (the reference takes the same user callable, gaspari_cohn.py:55-58).
 """
 
-from typing import Callable, Optional, Tuple, Union
+from typing import Callable, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ taper weight exactly 0, and are never selected.
 """
 
 import math
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

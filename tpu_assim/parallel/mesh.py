@@ -20,7 +20,7 @@ Multi-host: the same program runs under ``jax.distributed.initialize``; the
 mesh then spans all hosts' devices and the grid axis rides ICI/DCN.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

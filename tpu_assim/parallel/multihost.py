@@ -23,7 +23,7 @@ Typical driver (same script on every host, e.g. launched by GKE/xmanager):
     analysis = analyse(state, *sharded_obs)
 """
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -16,7 +16,7 @@ an explicit ``grid_coords [grid, n_coord]`` float array used by localization
 distance functions (replacing utilities/pandas.py:70-102 ``index_to_array``).
 """
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -2,7 +2,6 @@
 Test doubles (reference: /root/reference/pytassim/testing/dummy.py:39-164).
 """
 
-from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

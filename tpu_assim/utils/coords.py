@@ -7,8 +7,6 @@ coordinate matrices (``EnsembleState.grid_coords``), and these helpers
 convert user-facing pandas/datetime indexes into that representation.
 """
 
-from typing import Sequence
-
 import numpy as np
 
 __all__ = [

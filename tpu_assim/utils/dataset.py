@@ -12,7 +12,7 @@ stacking — over plain contiguous numpy arrays. Stacked grids keep an explicit
 localization distances) instead of a MultiIndex.
 """
 
-from typing import Dict, Iterable, List, Mapping, Optional, Sequence, Tuple
+from typing import Dict, Iterable, Mapping, Optional, Sequence
 
 import numpy as np
 

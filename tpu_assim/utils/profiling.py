@@ -27,7 +27,7 @@ import logging
 import threading
 import time
 from collections import defaultdict
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import jax
 
