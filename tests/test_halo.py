@@ -149,3 +149,79 @@ class TestHaloChebKernel:
                                       inf_factor=1.1, use_pallas=True)(*args)
         np.testing.assert_allclose(np.asarray(a_fused), np.asarray(a_ref),
                                    rtol=5e-4, atol=5e-5)
+
+
+class TestHalo2D:
+    """2-D domain decomposition: the (row, col)-tiled halo analysis must
+    reproduce the dense single-program analysis exactly."""
+
+    def _workload_2d(self, rng, ens=8, n_rows=16, n_cols=24, n_obs=60):
+        state2d = rng.normal(size=(ens, n_rows, n_cols))
+        flat_choices = rng.choice(n_rows * n_cols, size=n_obs, replace=False)
+        obs_ij = np.stack(
+            [flat_choices // n_cols, flat_choices % n_cols], axis=1
+        ).astype(np.int32)
+        obs_vals = rng.normal(size=n_obs)
+        obs_var = rng.uniform(0.4, 1.2, size=n_obs)
+        rr, cc = np.meshgrid(np.arange(n_rows, dtype=float),
+                             np.arange(n_cols, dtype=float), indexing="ij")
+        grid_coords = np.stack([rr, cc], axis=-1)           # [R, C, 2]
+        obs_coords = grid_coords[obs_ij[:, 0], obs_ij[:, 1]]  # [o, 2]
+        return state2d, obs_vals, obs_var, obs_ij, grid_coords, obs_coords
+
+    @staticmethod
+    def _dist2d(gc, oi):
+        # per-dimension |dr|, |dc| distances (columns 1,2 of the info rows)
+        return jnp.abs(oi[:, 1:3] - gc[1:3][None, :]).T
+
+    def test_2d_matches_dense(self, rng):
+        from jax.sharding import Mesh
+        from tpu_assim.parallel.halo import (
+            halo_letkf_analysis_2d, shard_observations_2d)
+
+        ens, n_rows, n_cols = 8, 16, 24
+        (state2d, obs_vals, obs_var, obs_ij, grid_coords,
+         obs_coords) = self._workload_2d(rng, ens, n_rows, n_cols)
+        radius = 3.0
+        loc = GaspariCohn((radius,), self._dist2d)
+
+        # dense reference on the flattened grid
+        flat_idx = (obs_ij[:, 0] * n_cols + obs_ij[:, 1]).astype(np.int32)
+        dense = make_letkf_analysis(loc, inf_factor=1.1)
+        expected = dense(
+            jnp.asarray(state2d.reshape(ens, -1)), jnp.asarray(obs_vals),
+            jnp.asarray(obs_var), jnp.asarray(flat_idx),
+            jnp.asarray(grid_coords.reshape(-1, 2)), jnp.asarray(obs_coords),
+        )
+
+        mesh_shape = (2, 4)
+        devices = np.asarray(jax.devices()[:8]).reshape(mesh_shape)
+        mesh = Mesh(devices, ("row", "col"))
+        vals, var, lidx, coords, valid, _ = shard_observations_2d(
+            obs_vals, obs_var, obs_ij, obs_coords,
+            (n_rows, n_cols), mesh_shape,
+        )
+        # tile spans: 8 rows, 6 cols; cutoff 2r=6 -> 1 tile halo each axis
+        analyse = halo_letkf_analysis_2d(
+            mesh, loc, max_obs=32, grid_shape=(n_rows, n_cols),
+            halo=(1, 1), inf_factor=1.1,
+        )
+        result = analyse(
+            jnp.asarray(state2d), jnp.asarray(vals), jnp.asarray(var),
+            jnp.asarray(lidx), jnp.asarray(coords), jnp.asarray(valid),
+            jnp.asarray(grid_coords),
+        )
+        np.testing.assert_allclose(
+            np.asarray(result).reshape(ens, -1), np.asarray(expected), **TOL
+        )
+
+    def test_2d_obs_bucketing(self, rng):
+        from tpu_assim.parallel.halo import shard_observations_2d
+
+        (_, obs_vals, obs_var, obs_ij, _, obs_coords) = self._workload_2d(rng)
+        vals, var, lidx, coords, valid, p = shard_observations_2d(
+            obs_vals, obs_var, obs_ij, obs_coords, (16, 24), (2, 4))
+        assert vals.shape == (8 * p,)
+        got = sorted(vals[valid > 0].tolist())
+        assert np.allclose(got, sorted(obs_vals.tolist()))
+        assert (lidx >= 0).all() and (lidx < 8 * 6).all()

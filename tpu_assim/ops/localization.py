@@ -149,7 +149,7 @@ class GaspariCohn(BaseLocalization):
         for i in range(n_dim):
             radius = self.radius[i] if i < len(self.radius) else self.radius[-1]
             z = dist[i] / radius
-            z_safe = jnp.maximum(z, jnp.finfo(dist.dtype).tiny)
+            z_safe = jnp.maximum(z, 0.5)   # see taper_from_dist
             w = jnp.where(z < 2.0, self._f2(z_safe), 0.0)
             w = jnp.where(z < 1.0, self._f1(z), w)
             weights = weights * w
@@ -164,7 +164,10 @@ class GaspariCohn(BaseLocalization):
         for i in range(n_dim):
             radius = self.radius[i] if i < len(self.radius) else self.radius[-1]
             z = dist[..., i, :] / radius
-            z_safe = jnp.maximum(z, jnp.finfo(dist.dtype).tiny)
+            # clamp the out-of-branch argument into f2's domain: the 1/z term
+            # would otherwise produce inf value AND derivative at z ~ 0,
+            # poisoning reverse-mode AD through the selecting where (0 * inf)
+            z_safe = jnp.maximum(z, 0.5)
             w = jnp.where(z < 2.0, self._f2(z_safe), 0.0)
             w = jnp.where(z < 1.0, self._f1(z), w)
             weights = weights * w
@@ -258,7 +261,7 @@ class GaspariCohnInf(BaseLocalization):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         dist = jnp.asarray(self.dist_func(grid_coord, obs_coords)).reshape(-1)
         z = dist / self.radius
-        z_safe = jnp.maximum(z, jnp.finfo(dist.dtype).tiny)
+        z_safe = jnp.maximum(z, 0.25)      # see GaspariCohn.taper_from_dist
         weights = jnp.where(z < 2.0, self._f4(z_safe), 0.0)
         weights = jnp.where(z < 1.5, self._f3(z_safe), weights)
         weights = jnp.where(z < 1.0, self._f2(z_safe), weights)
@@ -273,7 +276,7 @@ class GaspariCohnInf(BaseLocalization):
         weights = jnp.ones(dist.shape[:-2] + dist.shape[-1:], dtype=dist.dtype)
         for i in range(dist.shape[-2]):
             z = dist[..., i, :] / self.radius
-            z_safe = jnp.maximum(z, jnp.finfo(dist.dtype).tiny)
+            z_safe = jnp.maximum(z, 0.25)  # see GaspariCohn.taper_from_dist
             w = jnp.where(z < 2.0, self._f4(z_safe), 0.0)
             w = jnp.where(z < 1.5, self._f3(z_safe), w)
             w = jnp.where(z < 1.0, self._f2(z_safe), w)

@@ -43,8 +43,10 @@ from tpu_assim.ops.etkf import letkf_weights_nbh
 
 __all__ = [
     "shard_observations",
+    "shard_observations_2d",
     "halo_width_for",
     "halo_letkf_analysis",
+    "halo_letkf_analysis_2d",
 ]
 
 
@@ -118,22 +120,31 @@ def shard_observations(
     )
 
 
+def _halo_offsets(n_shards: int, halo_width: int):
+    """Distinct nonzero ring offsets within the halo. On small rings the
+    +h and -h hops can alias (e.g. n=2: +1 == -1); including an aliased
+    block twice would double-count its observations in the weighted Gram,
+    so each distinct source shard appears exactly once."""
+    seen, offsets = {0}, []
+    for h in range(1, halo_width + 1):
+        for off in (h % n_shards, (-h) % n_shards):
+            if off not in seen:
+                seen.add(off)
+                offsets.append(off)
+    return offsets
+
+
 def _ring_halo(packed: jnp.ndarray, axis_name: str, n_shards: int,
                halo_width: int) -> jnp.ndarray:
     """Concatenate a shard's packed obs block with its halo neighbors'
     blocks via ring ppermutes (neighbor-hop traffic on ICI). packed is
-    [rows, o_ps]; returns [rows, (2*halo_width + 1) * o_ps]."""
+    [rows, o_ps]; returns [rows, n_blocks * o_ps]."""
     blocks = [packed]
-    for h in range(1, halo_width + 1):
-        right = jax.lax.ppermute(
+    for off in _halo_offsets(n_shards, halo_width):
+        blocks.append(jax.lax.ppermute(
             packed, axis_name,
-            perm=[(i, (i + h) % n_shards) for i in range(n_shards)],
-        )
-        left = jax.lax.ppermute(
-            packed, axis_name,
-            perm=[(i, (i - h) % n_shards) for i in range(n_shards)],
-        )
-        blocks.extend([right, left])
+            perm=[(i, (i + off) % n_shards) for i in range(n_shards)],
+        ))
     return jnp.concatenate(blocks, axis=-1)
 
 
@@ -246,6 +257,202 @@ def halo_letkf_analysis(
         # pallas_call outputs carry no varying-mesh-axes metadata; the
         # manual check is disabled (every output is grid-sharded by
         # construction of the out_specs)
+        check_vma=False,
+    )
+
+    @jax.jit
+    def analysis_fn(state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
+                    obs_valid, grid_coords):
+        return sharded(
+            state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
+            obs_valid, grid_coords,
+            jnp.asarray(inf_factor, state_data.dtype),
+        )
+
+    return analysis_fn
+
+
+# ---------------------------------------------------------------------------
+# 2-D domain decomposition
+# ---------------------------------------------------------------------------
+
+def shard_observations_2d(
+    obs_vals: np.ndarray,
+    obs_var: np.ndarray,
+    obs_ij: np.ndarray,
+    obs_coords: np.ndarray,
+    grid_shape: Tuple[int, int],
+    mesh_shape: Tuple[int, int],
+):
+    """Bucket observations of a 2-D (rows x cols) grid by owning mesh tile.
+
+    Parameters
+    ----------
+    obs_vals / obs_var : [o].
+    obs_ij : [o, 2] int observed (row, col) grid positions.
+    obs_coords : [o, d] obs coordinates for the taper.
+    grid_shape : (n_rows, n_cols) of the physical grid.
+    mesh_shape : (mesh_rows, mesh_cols) of the device mesh.
+
+    Returns flat per-tile arrays shaped ``[tiles * p, ...]`` (tile-major,
+    row-major tile order — matching a grid array sharded over
+    ``P('row', 'col')``) plus the local flat index inside each tile block and
+    the per-tile pad count ``p``.
+    """
+    n_rows, n_cols = grid_shape
+    m_rows, m_cols = mesh_shape
+    if n_rows % m_rows or n_cols % m_cols:
+        raise ValueError("grid_shape must divide evenly over mesh_shape")
+    tr, tc = n_rows // m_rows, n_cols // m_cols
+    owner = (obs_ij[:, 0] // tr) * m_cols + (obs_ij[:, 1] // tc)
+    n_tiles = m_rows * m_cols
+    counts = np.bincount(owner, minlength=n_tiles)
+    p = max(int(counts.max()), 1)
+    d = obs_coords.shape[1]
+    vals = np.zeros((n_tiles, p), dtype=obs_vals.dtype)
+    var = np.ones((n_tiles, p), dtype=obs_var.dtype)
+    lidx = np.zeros((n_tiles, p), dtype=np.int32)
+    coords = np.zeros((n_tiles, p, d), dtype=obs_coords.dtype)
+    valid = np.zeros((n_tiles, p), dtype=obs_vals.dtype)
+    fill = np.zeros(n_tiles, dtype=np.int64)
+    for o in range(len(obs_vals)):
+        t = owner[o]
+        j = fill[t]
+        vals[t, j] = obs_vals[o]
+        var[t, j] = obs_var[o]
+        li = (obs_ij[o, 0] % tr) * tc + (obs_ij[o, 1] % tc)
+        lidx[t, j] = li
+        coords[t, j] = obs_coords[o]
+        valid[t, j] = 1.0
+        fill[t] += 1
+    return (
+        vals.reshape(-1), var.reshape(-1), lidx.reshape(-1),
+        coords.reshape(-1, d), valid.reshape(-1), p,
+    )
+
+
+def _ring_halo_2d(packed, row_axis, col_axis, mesh_rows, mesh_cols,
+                  halo_r, halo_c):
+    """2-D halo: exchange a tile's packed obs block with its
+    (2*halo_r+1) x (2*halo_c+1) neighborhood of tiles. Row-axis ppermutes
+    first, then column-axis ppermutes of the row-concatenated block —
+    corners arrive via the two-step relay, all traffic neighbor-hop on the
+    ICI torus. packed [rows, p] -> [rows, (2hr+1)*(2hc+1)*p]."""
+    row_blocks = [packed]
+    for off in _halo_offsets(mesh_rows, halo_r):
+        row_blocks.append(jax.lax.ppermute(
+            packed, row_axis,
+            perm=[(i, (i + off) % mesh_rows) for i in range(mesh_rows)]))
+    row_cat = jnp.concatenate(row_blocks, axis=-1)
+    col_blocks = [row_cat]
+    for off in _halo_offsets(mesh_cols, halo_c):
+        col_blocks.append(jax.lax.ppermute(
+            row_cat, col_axis,
+            perm=[(i, (i + off) % mesh_cols) for i in range(mesh_cols)]))
+    return jnp.concatenate(col_blocks, axis=-1)
+
+
+def halo_letkf_analysis_2d(
+    mesh: Mesh,
+    localization,
+    max_obs: int,
+    grid_shape: Tuple[int, int],
+    halo: Tuple[int, int] = (1, 1),
+    inf_factor: float = 1.0,
+    method: str = "eigh",
+    newton_iters: int = 25,
+    row_axis: str = "row",
+    col_axis: str = "col",
+    use_pallas: bool = False,
+    cheb_degree: int = 16,
+) -> Callable:
+    """Obs-sharded LETKF over a 2-D (row, col) domain decomposition.
+
+    Returns
+    -------
+    analysis_fn(state_data [k, R, C], obs_vals [t*p], obs_var [t*p],
+                obs_local_idx [t*p], obs_coords [t*p, d], obs_valid [t*p],
+                grid_coords [R, C, d]) -> analysis [k, R, C]
+
+    with obs arrays from :func:`shard_observations_2d`. State rows shard over
+    ``row_axis``, columns over ``col_axis``; every tile halo-exchanges its
+    packed obs block with its ``(2*halo[0]+1) x (2*halo[1]+1)`` tile
+    neighborhood over the ICI torus (two-axis neighbor ppermutes, corners by
+    relay). Exact when the taper support fits inside the halo (the 2-D
+    :func:`halo_width_for` bound per axis).
+    """
+    m_rows = mesh.shape[row_axis]
+    m_cols = mesh.shape[col_axis]
+    halo_r, halo_c = halo
+
+    def local_fn(state_loc, vals, var, lidx, ocoords, valid, gcoords, rho):
+        k, tr, tc = state_loc.shape
+        state_flat = state_loc.reshape(k, tr * tc)
+        ens_obs = jnp.take(state_flat, lidx, axis=-1)
+        rcinv = 1.0 / jnp.sqrt(var)
+        mean = jnp.mean(ens_obs, axis=0, keepdims=True)
+        perts = (ens_obs - mean) * rcinv * valid
+        innov = (vals - mean[0]) * rcinv * valid
+        packed = jnp.concatenate(
+            [perts, innov[None, :], valid[None, :], ocoords.T], axis=0
+        )
+        cand = _ring_halo_2d(packed, row_axis, col_axis, m_rows, m_cols,
+                             halo_r, halo_c)
+        c_perts = cand[:k]
+        c_innov = cand[k]
+        c_valid = cand[k + 1]
+        c_coords = cand[k + 2:].T
+        gflat = gcoords.reshape(tr * tc, -1)
+        grid_info = jnp.concatenate(
+            [jnp.zeros((gflat.shape[0], 1), gflat.dtype), gflat], axis=1)
+        obs_info = jnp.concatenate(
+            [jnp.zeros((c_coords.shape[0], 1), c_coords.dtype), c_coords],
+            axis=1)
+        w_loc = localization.taper_weights(grid_info, obs_info)
+        w_loc = w_loc * c_valid[None, :]
+        kk = min(max_obs, w_loc.shape[-1])
+        top_w, top_idx = jax.lax.top_k(w_loc, kk)
+        if kk < max_obs:
+            pad = max_obs - kk
+            top_w = jnp.pad(top_w, ((0, 0), (0, pad)))
+            top_idx = jnp.pad(top_idx, ((0, 0), (0, pad)))
+        mean_s = jnp.mean(state_flat, axis=0)
+        sp = state_flat - mean_s[None, :]
+        if use_pallas:
+            from tpu_assim.ops.pallas.letkf import letkf_nbh_analysis_cheb
+
+            sw = jnp.sqrt(top_w).astype(c_perts.dtype)
+            zh = c_perts[:, top_idx].transpose(2, 0, 1) * sw.T[:, None, :]
+            yh = c_innov[top_idx].T * sw.T
+            reg = jnp.asarray((k - 1) / inf_factor, c_perts.dtype)
+            out = letkf_nbh_analysis_cheb(
+                zh, yh, sp, mean_s, reg, k, degree=cheb_degree
+            ).astype(state_loc.dtype)
+        else:
+            weights = letkf_weights_nbh(
+                c_perts, c_innov, top_idx.astype(jnp.int32),
+                top_w.astype(c_perts.dtype), rho,
+                method=method, newton_iters=newton_iters,
+            )
+            out = mean_s[None, :] + jnp.einsum(
+                "kg,gkm->mg", sp, weights,
+                precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(k, tr, tc)
+
+    sharded = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, row_axis, col_axis),      # state [k, R, C]
+            P((row_axis, col_axis)),          # obs vals (tile-major flat)
+            P((row_axis, col_axis)),
+            P((row_axis, col_axis)),
+            P((row_axis, col_axis), None),
+            P((row_axis, col_axis)),
+            P(row_axis, col_axis, None),      # grid coords [R, C, d]
+            P(),
+        ),
+        out_specs=P(None, row_axis, col_axis),
         check_vma=False,
     )
 
