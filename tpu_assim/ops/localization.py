@@ -358,7 +358,10 @@ def neighborhood_select_window(
     grid_x = grid_coords[:, coord_col]
     n_obs = obs_x.shape[0]
     nb = min(max_obs, n_obs)
-    center = jnp.searchsorted(obs_x, grid_x)
+    # 'sort' = one merge-rank sort of [o + g] values — much faster on TPU
+    # than the default binary-search scan (measured 1.04 vs 1.70 ms at
+    # g=10^4, o=10^3)
+    center = jnp.searchsorted(obs_x, grid_x, method="sort")
     start = jnp.clip(center - nb // 2, 0, n_obs - nb)
     idx = start[:, None] + jnp.arange(nb, dtype=center.dtype)[None, :]
     sel_info = obs_coords[idx]                             # [g, nb, d]
