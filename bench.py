@@ -149,8 +149,8 @@ def run_all_configs():
     # -- config 2: LETKF benchmark workload (the headline metric) ---------
     w2 = tuple(jnp.asarray(a) for a in build_workload(40, 10000, 1000))
     loc2 = GaspariCohn((20.0,), dist_fn)
-    letkf = make_letkf_analysis(loc2, inf_factor=1.1, method="cheb",
-                                max_obs=16, selection="window")
+    letkf = make_letkf_analysis(loc2, inf_factor=1.1, method="fused1d",
+                                max_obs=16)
 
     @jax.jit
     def step2(acc, *w):
@@ -219,9 +219,12 @@ def run_all_configs():
     # -- config 5: large cycled-DA scale: 100 members, ~1M columns --------
     g5, o5 = 1 << 20, 1 << 16
     w5 = tuple(jnp.asarray(a) for a in build_workload(100, g5, o5))
+    # the monolithic kernel's VMEM footprint is independent of the grid
+    # size (no [g, nb, k] gather buffers), so no chunking is needed even
+    # at 2^20 columns
     letkf5 = make_letkf_analysis(
-        GaspariCohn((20.0,), dist_fn), inf_factor=1.1, method="cheb",
-        max_obs=16, selection="window", chunksize=1 << 17,
+        GaspariCohn((20.0,), dist_fn), inf_factor=1.1, method="fused1d",
+        max_obs=16,
     )
 
     @jax.jit
@@ -252,16 +255,16 @@ def main():
         return jnp.abs(obs_info[:, 1] - grid_coord[1])[None, :]
 
     loc = GaspariCohn((radius,), dist_fn)
-    # Fast path: fixed-size obs neighborhoods (radius 20 -> cutoff 2r=40,
-    # obs spacing 10 -> at most 9 nonzero-weight obs per column, so
-    # max_obs=16 is exact, not an approximation), chosen by sorted-coordinate
-    # window (exact for this 1-D layout, O(g*nb) instead of O(g*o)+top_k),
-    # solved+applied by the fused lane-major Chebyshev/Clenshaw Pallas kernel
-    # (ops/pallas/letkf.py:letkf_nbh_analysis_cheb; ~3e-6 relative to the
-    # f64 eigh path on this workload).
+    # Fast path: the ENTIRE analysis as one Pallas kernel — sorted-window
+    # selection (radius 20 -> cutoff 2r=40, obs spacing 10 -> at most 9
+    # nonzero-weight obs per column, so nb=16 is exact, not an
+    # approximation), Gaspari-Cohn taper, one-hot neighborhood gather on the
+    # MXU, and the lane-major Chebyshev/Clenshaw solve + weight application
+    # (ops/pallas/letkf.py:letkf_window_analysis_fused; ~3e-6 relative to
+    # the f64 eigh path on this workload).
     analyse = make_letkf_analysis(
         loc, inf_factor=inf, chunksize=None,
-        method="cheb", max_obs=16, selection="window",
+        method="fused1d", max_obs=16,
     )
     args = tuple(
         jnp.asarray(a)

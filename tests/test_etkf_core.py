@@ -503,3 +503,67 @@ class TestWindowSelection:
                                     selection="window")(*args)
         np.testing.assert_allclose(np.asarray(a_win), np.asarray(a_topk),
                                    rtol=1e-10, atol=1e-10)
+
+
+class TestMonolithicWindowKernel:
+    """The monolithic 1-D-window kernel (selection + taper + gather + solve
+    + apply in one pallas_call) vs the exact eigh analysis."""
+
+    def test_matches_eigh_analysis(self, rng):
+        from tpu_assim.analysis import make_letkf_analysis
+        from tpu_assim.ops.localization import GaspariCohn
+        import tpu_assim.ops.pallas.letkf as pk
+
+        orig = pk.letkf_window_analysis_fused
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        ens, g, o, radius = 12, 300, 48, 8.0
+        state = rng.randn(ens, g).astype("f4")
+        obs_idx = np.sort(rng.choice(g, size=o, replace=False)).astype("i4")
+        obs_vals = rng.randn(o).astype("f4")
+        obs_var = rng.uniform(0.5, 1.5, size=o).astype("f4")
+        grid_coords = np.arange(g, dtype="f4")[:, None]
+        obs_coords = grid_coords[obs_idx]
+
+        def dist(gc, oi):
+            return jnp.abs(oi[:, 1] - gc[1])[None, :]
+
+        loc = GaspariCohn((radius,), dist)
+        args = tuple(jnp.asarray(a) for a in (
+            state, obs_vals, obs_var, obs_idx, grid_coords, obs_coords))
+        exact = make_letkf_analysis(loc, 1.1, method="eigh")(*args)
+        import unittest.mock as mock
+
+        with mock.patch.object(pk, "letkf_window_analysis_fused", interp):
+            fused = make_letkf_analysis(
+                loc, 1.1, method="fused1d", max_obs=16
+            )(*args)
+        rel = float(np.abs(np.asarray(fused) - np.asarray(exact)).max()
+                    / np.abs(np.asarray(exact)).max())
+        assert rel < 5e-5, rel
+
+    def test_empty_window_columns_get_inflated_prior(self, rng):
+        """Columns far from every obs degenerate to the inflated prior."""
+        import tpu_assim.ops.pallas.letkf as pk
+
+        ens, g, o = 6, 40, 4
+        state = rng.randn(ens, g).astype("f4")
+        perts = rng.randn(ens, o).astype("f4")
+        innov = rng.randn(o).astype("f4")
+        obs_x = np.array([0.0, 1.0, 2.0, 3.0], dtype="f4")
+        grid_x = np.arange(100.0, 140.0, dtype="f4")  # all far away
+        m = state.mean(0)
+        sp = state - m
+        inf = 1.21
+        reg = jnp.asarray((ens - 1) / inf, jnp.float32)
+        out = pk.letkf_window_analysis_fused(
+            jnp.asarray(perts), jnp.asarray(innov), jnp.asarray(obs_x),
+            jnp.asarray(grid_x), jnp.asarray(sp), jnp.asarray(m), reg,
+            2.0, ens, nb=4, degree=10, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), m + np.sqrt(inf) * sp, rtol=1e-5, atol=1e-6
+        )

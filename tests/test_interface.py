@@ -351,3 +351,121 @@ class TestLETKFNeighborhoodOption:
         np.testing.assert_allclose(np.asarray(a_win.data),
                                    np.asarray(a_dense.data),
                                    rtol=1e-10, atol=1e-10)
+
+
+class TestSmoother4D:
+    """4D-DA smoother mode: obs over the whole window are stacked into a flat
+    obs_id = (time, obs) dim and one weight set updates the window
+    (reference: interface/base.py:222-241, smoother flag base.py:61)."""
+
+    def test_smoother_equals_hand_stacked_etkf(self, rng, state, obs):
+        from tpu_assim.ops.etkf import etkf_weights
+
+        etkf = ETKF(inf_factor=1.1, smoother=True)
+        analysis = etkf.assimilate(state, obs)
+
+        # hand computation: stack all times' normalized perts/innovations
+        data = np.asarray(state.data)          # [v, t, k, g]
+        obs_v = np.asarray(obs.observations)   # [t, g]
+        var = np.asarray(obs.covariance)
+        ens_obs = data[0]                      # identity operator on 'x'
+        mean = ens_obs.mean(axis=1, keepdims=True)
+        perts = (ens_obs - mean) / np.sqrt(var)          # [t, k, g]
+        innov = (obs_v - mean[:, 0]) / np.sqrt(var)      # [t, g]
+        k = state.ens_size
+        perts_flat = np.swapaxes(perts, 0, 1).reshape(k, -1)
+        innov_flat = innov.reshape(-1)
+        w = etkf_weights(jnp.asarray(perts_flat),
+                         jnp.asarray(innov_flat)[None, :], 1.1)
+        sm = data.mean(axis=2, keepdims=True)
+        expected = sm + np.einsum("vtkg,km->vtmg", data - sm, np.asarray(w))
+        np.testing.assert_allclose(np.asarray(analysis.data), expected,
+                                   rtol=1e-10, atol=1e-10)
+
+    def test_filter_mode_only_updates_analysis_time(self, rng, state, obs):
+        etkf = ETKF(inf_factor=1.1, smoother=False)
+        analysis = etkf.assimilate(state, obs, analysis_time=1.0)
+        # filtering slices to one time (reference filter.py:38-54)
+        assert analysis.n_times == 1
+        np.testing.assert_array_equal(np.asarray(analysis.times), [1.0])
+
+
+class TestCorrelatedRInterface:
+    def test_correlated_equals_explicit_whitening(self, rng, state):
+        """Assimilating with a correlated R equals assimilating the
+        pre-whitened problem with unit variances."""
+        n_grid = state.n_grid
+        a = rng.randn(n_grid, n_grid) * 0.05
+        cov = a @ a.T + np.eye(n_grid)
+        truth = np.asarray(state.data[0].mean(axis=1))
+        obs_vals = truth + rng.randn(*truth.shape)
+        obs_corr = Observation(
+            jnp.asarray(obs_vals), jnp.asarray(cov),
+            obs_coords=state.grid_coords, times=state.times,
+            operator=dummy_obs_operator(), correlated=True,
+        )
+        etkf = ETKF(inf_factor=1.0)
+        analysis = etkf.assimilate(state, obs_corr)
+        assert analysis.valid
+        # whitened problem: L^{-1} y with identity-like operator cannot be
+        # expressed via the public operator API directly, so check the
+        # algebra instead: innovations normalized by the Cholesky factor
+        chol = np.linalg.cholesky(cov)
+        idx = state.time_index(None)
+        data = np.asarray(state.data)[:, idx:idx + 1]
+        ens_obs = data[0]
+        mean = ens_obs.mean(axis=1, keepdims=True)
+        innov = obs_vals[idx:idx + 1] - mean[:, 0]
+        innov_w = np.linalg.solve(chol, innov[0])
+        perts_w = np.linalg.solve(chol, (ens_obs[0] - mean[0]).T).T
+        from tpu_assim.ops.etkf import etkf_weights
+
+        w = etkf_weights(jnp.asarray(perts_w), jnp.asarray(innov_w)[None, :],
+                         1.0)
+        sm = data.mean(axis=2, keepdims=True)
+        expected = sm + np.einsum("vtkg,km->vtmg", data - sm, np.asarray(w))
+        np.testing.assert_allclose(np.asarray(analysis.data), expected,
+                                   rtol=1e-9, atol=1e-9)
+
+
+class TestIEnKSWithRealModel:
+    def test_ienks_l96_forward_model_converges(self, rng):
+        """IEnKS outer loop with an RK4/Lorenz-96 forward model: the analysis
+        fits the observations better than the background (the reference
+        exercises the same composition, test_ienks.py with L96)."""
+        from tpu_assim.models import Lorenz96, RK4Integrator
+
+        n_grid, n_ens = 40, 25
+        integ = RK4Integrator(Lorenz96(), dt=0.05)
+        base = rng.randn(n_grid) + 8.0
+        # biased background: the ensemble is centered away from the truth,
+        # so the outer loop has an actual misfit to reduce
+        bias = 1.5 * rng.randn(n_grid)
+        data = np.stack([base + bias + 0.5 * rng.randn(n_grid)
+                         for _ in range(n_ens)])
+        state = EnsembleState(
+            jnp.asarray(data)[None, None],
+            times=jnp.asarray([0.0]),
+        )
+
+        def forward_model(st, iter_num):
+            prop = st.replace(data=integ.integrate(st.data))
+            return prop, prop
+
+        truth = integ.integrate(jnp.asarray(base))
+        obs_vals = np.asarray(truth) + 0.3 * rng.randn(n_grid)
+        obs = Observation(
+            jnp.asarray(obs_vals)[None, :], jnp.full((n_grid,), 0.09),
+            obs_coords=jnp.arange(n_grid, dtype=jnp.float64)[:, None],
+            times=jnp.asarray([0.0]),
+            operator=dummy_obs_operator(),
+        )
+        ienks = IEnKSTransform(forward_model=forward_model, max_iter=6,
+                               tau=1.0)
+        analysis = ienks.assimilate(state, obs)
+        # propagate analysis and background, compare obs-space fit
+        prop_ana = integ.integrate(analysis.data[0, 0])
+        prop_back = integ.integrate(state.data[0, 0])
+        fit_ana = float(jnp.mean((jnp.mean(prop_ana, 0) - truth) ** 2))
+        fit_back = float(jnp.mean((jnp.mean(prop_back, 0) - truth) ** 2))
+        assert fit_ana < 0.6 * fit_back

@@ -114,6 +114,29 @@ def make_letkf_analysis(
              obs_coords], axis=1,
         )
 
+        if method == "fused1d" and localization is not None and (
+            max_obs is not None
+        ):
+            # The complete analysis as ONE Pallas kernel (selection by
+            # sorted-coordinate window + GC taper + one-hot neighborhood
+            # gather + Chebyshev solve + apply) — requires sorted 1-D obs
+            # coordinates and a single-radius GaspariCohn taper
+            # (ops/pallas/letkf.py:letkf_window_analysis_fused).
+            from tpu_assim.ops.pallas.letkf import (
+                letkf_window_analysis_fused,
+            )
+
+            k = state_data.shape[0]
+            reg = jnp.asarray((k - 1) / inf_factor, perts.dtype)
+            mean = jnp.mean(state_data, axis=0)
+            sp = state_data - mean[None, :]
+            return letkf_window_analysis_fused(
+                perts, innov, obs_coords[:, 0], grid_coords[:, 0], sp,
+                mean, reg, float(localization.radius[0]), k,
+                nb=max_obs, degree=cheb_degree,
+                epsilon=float(localization.epsilon),
+            )
+
         if method == "cheb" and localization is not None and (
             max_obs is not None
         ):

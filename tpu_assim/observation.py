@@ -176,9 +176,12 @@ class Observation:
         from jax.scipy.linalg import solve_triangular
 
         def solve_one(cov, val):
+            # flatten all leading dims: solve_triangular wants matching
+            # batch ranks, and ``val`` may be [ens, time, obs] perturbations
             chol_l = jnp.linalg.cholesky(cov)
-            zt = solve_triangular(chol_l, jnp.swapaxes(val, -1, -2), lower=True)
-            return jnp.swapaxes(zt, -1, -2)
+            flat = val.reshape(-1, val.shape[-1])          # [b, obs]
+            zt = solve_triangular(chol_l, flat.T, lower=True)
+            return zt.T.reshape(val.shape)
 
         if self.covariance.ndim == 3:
             # time-dependent: solve per time step (reference loops per time,

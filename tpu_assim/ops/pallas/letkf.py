@@ -36,7 +36,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["letkf_nbh_analysis_fused", "letkf_nbh_analysis_cheb"]
+__all__ = [
+    "letkf_nbh_analysis_fused",
+    "letkf_nbh_analysis_cheb",
+    "letkf_window_analysis_fused",
+]
 
 
 def _coupled_ns(x, eye, num_iters):
@@ -389,4 +393,208 @@ def letkf_nbh_analysis_cheb(
     )(reg_arr, jnp.asarray(nodes)[None, :], jnp.asarray(dct),
       zh.astype(f32), yh.astype(f32), sp.astype(f32),
       mean.astype(f32)[None, :])
+    return out[:, :g]
+
+
+# ---------------------------------------------------------------------------
+# Monolithic 1-D-window kernel: selection + taper + gather + solve + apply
+# ---------------------------------------------------------------------------
+#
+# For the 1-D sorted-obs fast path everything upstream of the solve is cheap
+# arithmetic the XLA graph nonetheless spends milliseconds on (sort-based
+# searchsorted, [g, nb] gathers + layout changes, zh materialization in HBM).
+# This kernel does the WHOLE analysis per tile of T=128 lane-major columns:
+#
+#   1. window start per column by rank: start = clip(#\{obs_x <= grid_x\}
+#      - nb/2, 0, o - nb)  (a [o, T] compare + sublane-sum — the
+#      searchsorted replacement; obs_x must be sorted),
+#   2. for each window slot n: a one-hot [o, T] mask selects obs_x, the
+#      normalized innovation, and the perturbation column (an MXU
+#      contraction perts[k, o] @ onehot[o, T]),
+#   3. Gaspari-Cohn taper on |obs_x - grid_x| (polynomials inline,
+#      pytassim/localization/gaspari_cohn.py:77-95), sqrt-weight scaling,
+#   4. the Chebyshev/Clenshaw solve + weight application of
+#      letkf_nbh_analysis_cheb.
+#
+# Inputs stay in their natural layouts; the only HBM traffic is the state
+# tile in/out and the (small) obs arrays once per tile.
+
+
+def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, perts_ref, innov_ref,
+                         obsx_ref, gridx_ref, sp_ref, mean_ref, out_ref,
+                         *, ens_size, degree, nb, epsilon):
+    f32 = jnp.float32
+    reg = scal_ref[0]
+    radius = scal_ref[1]
+    perts = perts_ref[:]              # [k, o]
+    innov = innov_ref[:]              # [1, o]
+    obs_x = obsx_ref[:]               # [1, o]
+    grid_x = gridx_ref[:]             # [1, T]
+    sp = sp_ref[:]                    # [k, T]
+    n_obs = perts.shape[1]
+
+    # 1. window starts by rank of grid_x among obs_x
+    cmp = jnp.where(obs_x.reshape(-1, 1) <= grid_x, 1.0, 0.0)  # [o, T]
+    center = jnp.sum(cmp, axis=0)                              # [T]
+    start = jnp.clip(center - (nb // 2), 0.0,
+                     float(n_obs - nb)).astype(jnp.int32)
+
+    # 2-3. per-slot one-hot selection + taper (iota must be integer on TPU)
+    iota_o = jax.lax.broadcasted_iota(jnp.int32, (n_obs, 1), 0)  # [o, 1]
+    zh_rows = []
+    yh_rows = []
+    hp = jax.lax.Precision.HIGHEST
+    for n in range(nb):
+        sel = start[None, :] + n                               # [1, T]
+        onehot = jnp.where(iota_o == sel, 1.0, 0.0)            # [o, T]
+        ox_n = jnp.sum(obs_x.reshape(-1, 1) * onehot, axis=0)  # [T]
+        yv_n = jnp.sum(innov.reshape(-1, 1) * onehot, axis=0)  # [T]
+        zz_n = jax.lax.dot_general(
+            perts, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=hp,
+        )                                                      # [k, T]
+        # Gaspari-Cohn GC(z, 1/2, c) (reference gaspari_cohn.py:77-95)
+        z = jnp.abs(ox_n - grid_x[0]) / radius
+        z_safe = jnp.maximum(z, 0.5)
+        f2v = (z_safe ** 5 / 12.0 - 0.5 * z_safe ** 4
+               + 0.625 * z_safe ** 3 + 5.0 / 3.0 * z_safe ** 2
+               - 5.0 * z_safe + 4.0 - 2.0 / 3.0 / z_safe)
+        f1v = (-0.25 * z ** 5 + 0.5 * z ** 4 + 0.625 * z ** 3
+               - 5.0 / 3.0 * z ** 2 + 1.0)
+        w = jnp.where(z < 2.0, f2v, 0.0)
+        w = jnp.where(z < 1.0, f1v, w)
+        w = jnp.where(w > epsilon, w, 0.0)
+        sw = jnp.sqrt(w)                                       # [T]
+        zh_rows.append(zz_n * sw[None, :])
+        yh_rows.append(yv_n * sw)
+    zh = jnp.stack(zh_rows, axis=0)                            # [nb, k, T]
+    yh = jnp.stack(yh_rows, axis=0)                            # [nb, T]
+
+    # 4. Chebyshev solve + apply (same math as _letkf_cheb_kernel)
+    s = jnp.stack(
+        [jnp.sum(zh[n][None, :, :] * zh, axis=1) for n in range(nb)], axis=0
+    )
+    inf_norm = jnp.max(jnp.sum(jnp.abs(s), axis=1), axis=0)
+    trace = jnp.sum(jnp.stack([s[n, n] for n in range(nb)], axis=0), axis=0)
+    lam_ub = jnp.maximum(1.0 + jnp.minimum(inf_norm, trace) / reg, 1.05)
+    t_nodes = nodes_ref[:].reshape(-1, 1)
+    half_w = 0.5 * (lam_ub - 1.0)[None, :]
+    x_nodes = (1.0 + half_w) + half_w * t_nodes
+    f1x = 1.0 / x_nodes
+    sq = jnp.sqrt(x_nodes)
+    f2x = 1.0 / (sq * (1.0 + sq))
+    dct_mat = dct_ref[:]
+    c1 = jnp.einsum("mj,jc->mc", dct_mat, f1x,
+                    preferred_element_type=f32, precision=hp)
+    c2 = jnp.einsum("mj,jc->mc", dct_mat, f2x,
+                    preferred_element_type=f32, precision=hp)
+    a_sc = (2.0 / (lam_ub - 1.0))[None, :]
+    b_sc = (-(lam_ub + 1.0) / (lam_ub - 1.0))[None, :]
+
+    def xt(vec):
+        sv = jnp.sum(s * vec[None, :, :], axis=1)
+        return a_sc * (vec + sv / reg) + b_sc * vec
+
+    u = jnp.sum(zh * sp[None, :, :], axis=1)
+
+    def clenshaw(coeffs, w_vec):
+        b1 = jnp.zeros_like(w_vec)
+        b2 = jnp.zeros_like(w_vec)
+        for m_i in range(degree, 0, -1):
+            b0 = coeffs[m_i][None, :] * w_vec + 2.0 * xt(b1) - b2
+            b2, b1 = b1, b0
+        return coeffs[0][None, :] * w_vec + xt(b1) - b2
+
+    q = clenshaw(c1, yh)
+    v = clenshaw(c2, u)
+    alpha = jnp.sqrt((ens_size - 1.0) / reg)
+    mean_upd = jnp.sum(u * q, axis=0)[None, :] / reg
+    zv = jnp.sum(zh * v[:, None, :], axis=0)
+    out_ref[:] = mean_ref[:] + mean_upd + alpha * sp - (alpha / reg) * zv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ens_size", "nb", "degree", "tile", "interpret",
+                     "epsilon"),
+)
+def letkf_window_analysis_fused(
+    perts: jnp.ndarray,
+    innov: jnp.ndarray,
+    obs_x: jnp.ndarray,
+    grid_x: jnp.ndarray,
+    sp: jnp.ndarray,
+    mean: jnp.ndarray,
+    reg: jnp.ndarray,
+    radius: float,
+    ens_size: int,
+    nb: int = 16,
+    degree: int = 16,
+    tile: int = 128,
+    epsilon: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The complete 1-D-window LETKF analysis as ONE Pallas kernel.
+
+    Parameters
+    ----------
+    perts : [k, o] R^{-1/2}-normalized obs-space perturbations.
+    innov : [o] normalized innovations.
+    obs_x : [o] obs coordinates, SORTED ascending.
+    grid_x : [g] grid coordinates (any order).
+    sp : [k, g] state perturbations; mean [g] state mean.
+    reg : scalar (K-1)/rho; radius : static Gaspari-Cohn radius.
+    nb : window size (exact when every column has at most nb nonzero-taper
+        obs and obs are sorted — same condition as neighborhood_select_window).
+
+    Returns analysis [k, g].
+    """
+    k, o = perts.shape
+    g = grid_x.shape[0]
+    f32 = jnp.float32
+    n_tiles = -(-g // tile)
+    pad = n_tiles * tile - g
+    if pad:
+        grid_x = jnp.pad(grid_x, ((0, pad),),
+                         constant_values=grid_x[-1])
+        sp = jnp.pad(sp, ((0, 0), (0, pad)))
+        mean = jnp.pad(mean, ((0, pad),))
+    scal = jnp.stack([reg.astype(f32),
+                      jnp.asarray(radius, f32)]).reshape(2,)
+    nodes, dct = _cheb_nodes_dct(degree)
+    kernel = functools.partial(
+        _letkf_window_kernel, ens_size=ens_size, degree=degree, nb=nb,
+        epsilon=epsilon,
+    )
+    dp1 = degree + 1
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, dp1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp1, dp1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, o), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, o), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, o), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, n_tiles * tile), f32),
+        interpret=interpret,
+    )(scal, jnp.asarray(nodes)[None, :], jnp.asarray(dct),
+      perts.astype(f32), innov.astype(f32)[None, :],
+      obs_x.astype(f32)[None, :], grid_x.astype(f32)[None, :],
+      sp.astype(f32), mean.astype(f32)[None, :])
     return out[:, :g]
