@@ -235,8 +235,8 @@ def run_all_configs():
     t5 = _chain_time(step5, w5, reps=4, trials=2)
     emit({"metric": "letkf_large_grid_points_per_s",
           "value": round(g5 / t5, 1),
-          "unit": "grid-points/s (ens=100, grid=2^20, obs=2^16, GC r=20,"
-                  " chunked)"})
+          "unit": "grid-points/s (ens=100, grid=2^20, obs=2^16,"
+                  " GC r=20, per-tile obs blocks)"})
 
 
 def main():

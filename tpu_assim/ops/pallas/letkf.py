@@ -420,15 +420,19 @@ def letkf_nbh_analysis_cheb(
 # tile in/out and the (small) obs arrays once per tile.
 
 
-def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, perts_ref, innov_ref,
-                         obsx_ref, gridx_ref, sp_ref, mean_ref, out_ref,
+def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
+                         gridx_ref, sp_ref, mean_ref, out_ref,
                          *, ens_size, degree, nb, epsilon):
     f32 = jnp.float32
     reg = scal_ref[0]
     radius = scal_ref[1]
-    perts = perts_ref[:]              # [k, o]
-    innov = innov_ref[:]              # [1, o]
-    obs_x = obsx_ref[:]               # [1, o]
+    # packed obs table [1, rows_pad, o]: rows 0..k-1 perts, k innov,
+    # k+1 obs coords (padding rows unused)
+    pack = obs_ref[:][0]
+    k_rows = ens_size
+    perts = pack[:k_rows]             # [k, o]
+    innov = pack[k_rows:k_rows + 1]   # [1, o]
+    obs_x = pack[k_rows + 1:k_rows + 2]  # [1, o]
     grid_x = gridx_ref[:]             # [1, T]
     sp = sp_ref[:]                    # [k, T]
     n_obs = perts.shape[1]
@@ -516,7 +520,7 @@ def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, perts_ref, innov_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("ens_size", "nb", "degree", "tile", "interpret",
-                     "epsilon"),
+                     "epsilon", "obs_block"),
 )
 def letkf_window_analysis_fused(
     perts: jnp.ndarray,
@@ -532,6 +536,7 @@ def letkf_window_analysis_fused(
     degree: int = 16,
     tile: int = 128,
     epsilon: float = 1e-5,
+    obs_block: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """The complete 1-D-window LETKF analysis as ONE Pallas kernel.
@@ -541,11 +546,18 @@ def letkf_window_analysis_fused(
     perts : [k, o] R^{-1/2}-normalized obs-space perturbations.
     innov : [o] normalized innovations.
     obs_x : [o] obs coordinates, SORTED ascending.
-    grid_x : [g] grid coordinates (any order).
+    grid_x : [g] grid coordinates; must be ordered so that every tile of
+        ``tile`` consecutive columns spans a contiguous coordinate range
+        when ``obs_block`` kicks in (a globally sorted grid satisfies this).
     sp : [k, g] state perturbations; mean [g] state mean.
     reg : scalar (K-1)/rho; radius : static Gaspari-Cohn radius.
     nb : window size (exact when every column has at most nb nonzero-taper
         obs and obs are sorted — same condition as neighborhood_select_window).
+    obs_block : per-tile obs block width. 0 = auto: the whole obs set when
+        it fits VMEM, otherwise ``2 x`` the mean obs count per tile span
+        plus ``2 nb`` margin. Each grid tile sees only its contiguous slice
+        of the sorted obs — exact as long as no tile's coordinate span
+        contains more than ``obs_block - 2 nb`` observations.
 
     Returns analysis [k, g].
     """
@@ -567,6 +579,57 @@ def letkf_window_analysis_fused(
         epsilon=epsilon,
     )
     dp1 = degree + 1
+
+    rows = k + 2
+    rows_pad = -(-rows // 8) * 8
+
+    if obs_block == 0:
+        # whole obs set fits comfortably? (~2 MB VMEM budget for the tables)
+        if rows_pad * o * 4 <= (2 << 20):
+            obs_block = o
+        else:
+            obs_block = min(o, 2 * ((o * tile) // max(g, 1)) + 2 * nb)
+            obs_block = max(obs_block, 2 * nb)
+            obs_block = -(-obs_block // 8) * 8  # sublane-align
+
+    if obs_block >= o:
+        # single shared packed obs table, replicated to every tile
+        pack = jnp.concatenate(
+            [perts.astype(f32), innov.astype(f32)[None, :],
+             obs_x.astype(f32)[None, :],
+             jnp.zeros((rows_pad - rows, o), f32)], axis=0,
+        )[None]                                            # [1, rows_pad, o]
+        pack_idx = lambda i: (0, 0, 0)
+        o_b = o
+    else:
+        # Per-tile contiguous obs blocks (sorted obs => each tile's window
+        # obs live in one slice). Out-of-range slots: coords +inf (never
+        # counted by the rank, taper weight 0), values 0.
+        o_b = obs_block
+        tile_min = grid_x.reshape(n_tiles, tile).min(axis=1)
+        offs = jnp.clip(
+            jnp.searchsorted(obs_x, tile_min, method="sort") - nb,
+            0, max(o - 1, 0),
+        ).astype(jnp.int32)
+        idx = offs[:, None] + jnp.arange(o_b, dtype=jnp.int32)[None, :]
+        in_range = idx < o
+        idx_c = jnp.minimum(idx, o - 1)
+        big = jnp.asarray(jnp.finfo(f32).max, f32)
+        obs_x_b = jnp.where(in_range, jnp.take(obs_x.astype(f32), idx_c),
+                            big)                           # [n_tiles, o_b]
+        innov_b = jnp.where(in_range, jnp.take(innov.astype(f32), idx_c),
+                            0.0)
+        perts_b = jnp.where(
+            in_range[:, None, :],
+            jnp.take(perts.astype(f32), idx_c, axis=1).transpose(1, 0, 2),
+            0.0,
+        )                                                  # [n_tiles, k, o_b]
+        pack = jnp.concatenate(
+            [perts_b, innov_b[:, None, :], obs_x_b[:, None, :],
+             jnp.zeros((n_tiles, rows_pad - rows, o_b), f32)], axis=1,
+        )                                                  # [n_tiles, rp, o_b]
+        pack_idx = lambda i: (i, 0, 0)
+
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -576,11 +639,7 @@ def letkf_window_analysis_fused(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((dp1, dp1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, o), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, o), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, o), lambda i: (0, 0),
+            pl.BlockSpec((1, rows_pad, o_b), pack_idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -594,7 +653,6 @@ def letkf_window_analysis_fused(
         out_shape=jax.ShapeDtypeStruct((k, n_tiles * tile), f32),
         interpret=interpret,
     )(scal, jnp.asarray(nodes)[None, :], jnp.asarray(dct),
-      perts.astype(f32), innov.astype(f32)[None, :],
-      obs_x.astype(f32)[None, :], grid_x.astype(f32)[None, :],
+      pack, grid_x.astype(f32)[None, :],
       sp.astype(f32), mean.astype(f32)[None, :])
     return out[:, :g]
