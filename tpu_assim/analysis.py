@@ -65,15 +65,27 @@ def make_letkf_analysis(
     obs_operator : optional jnp callable ``[..., grid] -> [..., obs]``; by
         default observations are direct point observations selected by the
         ``obs_idx`` argument.
-    method : ``"eigh"`` (exact, reference-parity math) or ``"newton"`` (the
-        matmul-only MXU path — XLA's batched eigh dominates the TPU profile
-        otherwise; see ops/etkf.py:etkf_weights_from_gram).
-    newton_iters : Newton iteration count for ``method="newton"``.
+    method : solver path (see docs/solvers.md):
+        ``"eigh"`` — exact eigendecomposition, reference-parity math and the
+        differentiation-friendly f64 oracle path;
+        ``"newton"`` — matmul-only Newton-Schulz (smooth gradients);
+        ``"woodbury"`` — dual-space Newton-Schulz over obs neighborhoods;
+        ``"pallas"`` — fused Woodbury solve+apply Pallas kernel;
+        ``"cheb"`` — lane-major Chebyshev/Clenshaw Pallas kernel (needs
+        ``max_obs``);
+        ``"fused1d"`` — the whole analysis (window selection + GC taper +
+        gather + solve + apply) as ONE Pallas kernel; requires sorted 1-D
+        obs coordinates and a single-radius GaspariCohn localization. The
+        TPU speed-of-light path.
+    newton_iters : Newton iteration count for the Newton/Woodbury paths.
     max_obs : if set, each grid column solves over only its ``max_obs``
         largest-taper-weight observations (exact whenever no column has more
         nonzero-weight obs than that — see
         :func:`tpu_assim.ops.localization.neighborhood_select`); otherwise
         the weighted Gram runs over the full obs vector.
+    cheb_degree : Chebyshev degree for the ``cheb``/``fused1d`` kernels.
+    selection : ``"topk"`` (general) or ``"window"`` (sorted 1-D obs
+        coordinates; O(g*nb) instead of O(g*o) + top_k).
 
     Returns
     -------
