@@ -464,3 +464,149 @@ class TestLocalizedAnalysisParity:
             jnp.asarray(obs_coords),
         )
         np.testing.assert_allclose(np.asarray(ours), expected, **TOL)
+
+
+# --------------------------------------------------- cycled-DA parity (N≥1)
+class TestCycledParity:
+    """BASELINE.json north star: posterior-ensemble parity with the
+    reference over a cycled Lorenz-96 twin experiment on identical synthetic
+    observations — the reference side runs its own torch model, integrator,
+    and ETKF core end-to-end."""
+
+    def test_ten_cycle_etkf_l96_parity(self, rng):
+        n_grid, n_ens, n_cycles, n_int = 40, 12, 10, 3
+        dt, obs_var = 0.05, 0.5
+        inf = 1.1
+        obs_idx = np.arange(0, n_grid, 2)
+        rcinv = 1.0 / np.sqrt(obs_var)
+
+        ens0 = rng.normal(size=(n_ens, n_grid)) + 8.0
+        # observations track a truth trajectory (assimilating unphysical
+        # noise makes BOTH pipelines diverge within ~8 cycles)
+        truth = rng.normal(size=n_grid) + 8.0
+        t_int = RK4Integrator(Lorenz96(forcing=8.0), dt=dt)
+        obs_seq = []
+        t_state = jnp.asarray(truth)
+        for _ in range(n_cycles):
+            for _ in range(n_int):
+                t_state = t_int.integrate(t_state)
+            obs_seq.append(np.asarray(t_state)[obs_idx]
+                           + rng.normal(size=len(obs_idx))
+                           * np.sqrt(obs_var))
+
+        # ----- reference pipeline (torch)
+        ref_int = RefRK4(RefLorenz96(forcing=8.0), dt=dt)
+        ref_mod = RefETKF(inf_factor=torch.tensor(inf, dtype=torch.float64))
+        ref_ens = _t(ens0)
+        ref_states = []
+        for c in range(n_cycles):
+            for _ in range(n_int):
+                ref_ens = ref_int.integrate(ref_ens)
+            ens_obs = ref_ens[:, obs_idx]
+            mean = ens_obs.mean(dim=0, keepdim=True)
+            perts = (ens_obs - mean) * rcinv
+            innov = (_t(obs_seq[c])[None, :] - mean) * rcinv
+            w = ref_mod(perts, innov)
+            state_mean = ref_ens.mean(dim=0, keepdim=True)
+            ref_ens = state_mean + torch.einsum(
+                "kg,km->mg", ref_ens - state_mean, w)
+            ref_states.append(ref_ens.numpy().copy())
+
+        # ----- our pipeline (jax, f64, exact eigh path)
+        from tpu_assim.analysis import make_etkf_analysis
+
+        our_int = RK4Integrator(Lorenz96(forcing=8.0), dt=dt)
+        analyse = make_etkf_analysis(inf_factor=inf)
+        our_ens = jnp.asarray(ens0)
+        obs_idx_j = jnp.asarray(obs_idx, dtype=jnp.int32)
+        var_j = jnp.full((len(obs_idx),), obs_var)
+        gc = jnp.arange(n_grid, dtype=jnp.float64)[:, None]
+        for c in range(n_cycles):
+            for _ in range(n_int):
+                our_ens = our_int.integrate(our_ens)
+            our_ens = analyse(
+                our_ens, jnp.asarray(obs_seq[c]), var_j, obs_idx_j,
+                gc, gc[obs_idx],
+            )
+            # chaotic dynamics amplify rounding ~Lyapunov-exponentially, so
+            # per-cycle comparison uses a tolerance growing with cycle count
+            np.testing.assert_allclose(
+                np.asarray(our_ens), ref_states[c],
+                rtol=1e-9 * 10 ** (c / 3), atol=1e-10 * 10 ** (c / 3),
+                err_msg=f"cycle {c}",
+            )
+
+    def test_ten_cycle_letkf_l96_parity(self, rng):
+        """Same cycle, localized: reference side = torch ETKF core applied
+        per grid point with reference GC localization (its own execution
+        model); ours = the fused batched LETKF analysis."""
+        n_grid, n_ens, n_cycles, n_int = 40, 10, 6, 2
+        dt, obs_var, inf, radius = 0.05, 0.5, 1.1, 4.0
+        obs_idx = np.arange(0, n_grid, 2)
+        rcinv = 1.0 / np.sqrt(obs_var)
+        grid_coords = np.arange(n_grid, dtype=np.float64)[:, None]
+        obs_coords = grid_coords[obs_idx]
+
+        ens0 = rng.normal(size=(n_ens, n_grid)) + 8.0
+        truth = rng.normal(size=n_grid) + 8.0
+        t_int = RK4Integrator(Lorenz96(forcing=8.0), dt=dt)
+        obs_seq = []
+        t_state = jnp.asarray(truth)
+        for _ in range(n_cycles):
+            for _ in range(n_int):
+                t_state = t_int.integrate(t_state)
+            obs_seq.append(np.asarray(t_state)[obs_idx]
+                           + rng.normal(size=len(obs_idx))
+                           * np.sqrt(obs_var))
+
+        ref_int = RefRK4(RefLorenz96(forcing=8.0), dt=dt)
+        ref_mod = RefETKF(inf_factor=torch.tensor(inf, dtype=torch.float64))
+        ref_loc = RefGaspariCohn((radius,),
+                                 dist_func=lambda x, y: np.abs(y - x).T)
+        ref_ens = _t(ens0)
+        ref_states = []
+        for c in range(n_cycles):
+            for _ in range(n_int):
+                ref_ens = ref_int.integrate(ref_ens)
+            ens_np = ref_ens.numpy()
+            ens_obs = ens_np[:, obs_idx]
+            mean_o = ens_obs.mean(axis=0)
+            perts = (ens_obs - mean_o) * rcinv
+            innov = (obs_seq[c] - mean_o) * rcinv
+            sm = ens_np.mean(axis=0)
+            sperts = ens_np - sm
+            new = np.empty_like(ens_np)
+            for gp in range(n_grid):
+                use, w = ref_loc.localize_obs(grid_coords[gp], obs_coords)
+                sw = np.sqrt(w[use])
+                wmat = ref_mod(
+                    _t(perts[:, use] * sw), _t(innov[None, use] * sw)
+                ).numpy()
+                new[:, gp] = sm[gp] + sperts[:, gp] @ wmat
+            ref_ens = _t(new)
+            ref_states.append(new.copy())
+
+        from tpu_assim.analysis import make_letkf_analysis
+        from tpu_assim.ops.localization import GaspariCohn
+
+        def dist(gc_, oi):
+            return jnp.abs(oi[:, 1] - gc_[1])[None, :]
+
+        our_int = RK4Integrator(Lorenz96(forcing=8.0), dt=dt)
+        analyse = make_letkf_analysis(GaspariCohn((radius,), dist),
+                                      inf_factor=inf)
+        our_ens = jnp.asarray(ens0)
+        obs_idx_j = jnp.asarray(obs_idx, dtype=jnp.int32)
+        var_j = jnp.full((len(obs_idx),), obs_var)
+        for c in range(n_cycles):
+            for _ in range(n_int):
+                our_ens = our_int.integrate(our_ens)
+            our_ens = analyse(
+                our_ens, jnp.asarray(obs_seq[c]), var_j, obs_idx_j,
+                jnp.asarray(grid_coords), jnp.asarray(obs_coords),
+            )
+            np.testing.assert_allclose(
+                np.asarray(our_ens), ref_states[c],
+                rtol=1e-9 * 10 ** (c / 2), atol=1e-10 * 10 ** (c / 2),
+                err_msg=f"cycle {c}",
+            )
