@@ -227,6 +227,29 @@ def run_all_configs():
         max_obs=16,
     )
 
+    # -- bonus: full cycled-DA throughput (forecast + fused analysis) ------
+    from tpu_assim.models import Lorenz96, RK4Integrator
+    from tpu_assim.analysis import make_cycle_step
+
+    g6, o6 = 10000, 1000
+    w6 = tuple(jnp.asarray(a) for a in build_workload(40, g6, o6))
+    cyc = make_cycle_step(
+        RK4Integrator(Lorenz96(), dt=0.05), 4,
+        GaspariCohn((20.0,), dist_fn), inf_factor=1.1,
+        method="fused1d", max_obs=16,
+    )
+
+    @jax.jit
+    def step6(acc, *w):
+        return jnp.sum(cyc(w[0] + acc * 1e-9, *w[1:])) * 1e-12
+
+    progress("config 6: cycle throughput...")
+    t6 = _chain_time(step6, w6)
+    emit({"metric": "da_cycles_per_s",
+          "value": round(1.0 / t6, 2),
+          "unit": "forecast(4xRK4)+analysis cycles/s (ens=40, grid=10000,"
+                  " obs=1000)"})
+
     @jax.jit
     def step5(acc, *w):
         return jnp.sum(letkf5(w[0] + acc * 1e-9, *w[1:])) * 1e-12

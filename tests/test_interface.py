@@ -469,3 +469,19 @@ class TestIEnKSWithRealModel:
         fit_ana = float(jnp.mean((jnp.mean(prop_ana, 0) - truth) ** 2))
         fit_back = float(jnp.mean((jnp.mean(prop_back, 0) - truth) ** 2))
         assert fit_ana < 0.6 * fit_back
+
+
+class TestGridChunking:
+    def test_map_grid_chunked_matches_unchunked(self, rng):
+        from tpu_assim.interface.mixin_local import map_grid_chunked
+
+        grid_info = jnp.asarray(rng.randn(37, 3))
+
+        def fn(chunk):
+            return chunk * 2.0 + 1.0
+
+        full = map_grid_chunked(fn, grid_info, None)
+        chunked = map_grid_chunked(fn, grid_info, 8)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                                   atol=1e-12)
+        assert chunked.shape == (37, 3)

@@ -288,16 +288,21 @@ def make_cycle_step(
     localization,
     inf_factor: float = 1.0,
     chunksize: Optional[int] = None,
+    **analysis_opts,
 ):
     """Build a jitted forecast+analysis cycle step for a [k, g] ensemble:
     integrate every member ``n_int_steps`` steps, then run the LETKF analysis
     — the composition the reference's cycled experiments build by hand
     (SURVEY §3.5; examples/benchmark_letkf.py + RK4Integrator).
 
+    ``analysis_opts`` pass through to :func:`make_letkf_analysis`
+    (method / max_obs / selection / cheb_degree).
+
     Returns step(state_data, obs_vals, obs_var, obs_idx, grid_coords,
                  obs_coords) -> analysis [k, g].
     """
-    analyse = make_letkf_analysis(localization, inf_factor, chunksize)
+    analyse = make_letkf_analysis(localization, inf_factor, chunksize,
+                                  **analysis_opts)
 
     @jax.jit
     def step(state_data, obs_vals, obs_var, obs_idx, grid_coords, obs_coords):
