@@ -48,7 +48,7 @@ def make_cosmo_ds(rng, n_time=2, n_ens=3, n_rlat=4, n_rlon=5):
         "vcoord": Variable(("level1",), vcoord),
     }
     coords = {
-        "time": np.array([0.0, 3600.0]),
+        "time": np.array([0.0, 3600.0])[:n_time],
         "level1": np.arange(5, dtype=np.float64),
         "level": np.arange(4, dtype=np.float64),
         "soil1": soil1,
@@ -210,3 +210,64 @@ class TestCosmoT2mOperator:
         )
         np.testing.assert_allclose(xyz[0], [6371000.0, 0.0, 0.0], atol=1e-6)
         np.testing.assert_allclose(xyz[1, 2], 6371100.0, rtol=1e-12)
+
+
+class TestEndToEndAssimilation:
+    """Full chain: COSMO dataset -> preprocess -> LETKF analysis with the
+    T2m station operator -> postprocess back into the model dataset."""
+
+    def test_cosmo_t2m_letkf_roundtrip(self, rng):
+        from tpu_assim.interface import LETKF
+        from tpu_assim.observation import Observation
+        from tpu_assim.ops.localization import GaspariCohn
+
+        ds = make_cosmo_ds(rng, n_time=1, n_ens=8)
+        state = preprocess_cosmo(ds, ASSIM_VARS)
+        vgrid = np.asarray(state.vgrid)
+        n_rlat, n_rlon = 4, 5
+        lat2d, lon2d = np.meshgrid(np.linspace(50, 51, n_rlat),
+                                   np.linspace(7, 8, n_rlon), indexing="ij")
+        hsurf = rng.uniform(100, 200, size=(n_rlat, n_rlon))
+        st_lat = np.array([50.0, 51.0])
+        st_lon = np.array([7.25, 7.75])
+        st_alt = np.array([140.0, 180.0])
+        op = CosmoT2mOperator(
+            st_lat, st_lon, st_alt, lat2d, lon2d, hsurf, vgrid,
+            state.var_names, lev_inds=(0, 2), t2m_level=0.0,
+        )
+
+        def operator(obs_ds, pseudo_state):
+            return op(obs_ds, pseudo_state)
+
+        obs_vals = rng.normal(285, 2, size=(1, 2))
+        # station obs coordinates: (time prepended later, lat, lon); the
+        # state's grid_coords are (rlat_idx-coord, rlon, vgrid) from the
+        # adapter, so localize on matching columns
+        grid_ll = np.asarray(state.grid_coords)
+        obs_coords = grid_ll[op.locs * len(vgrid)][:, :2]
+        obs = Observation(
+            jnp.asarray(obs_vals), jnp.full((2,), 1.0),
+            obs_coords=jnp.asarray(obs_coords),
+            times=state.times, operator=operator,
+        )
+
+        def dist(gc, oi):
+            return jnp.abs(oi[:, 1:3] - gc[1:3][None, :]).T
+
+        letkf = LETKF(localization=GaspariCohn((1.5, 2.5), dist),
+                      inf_factor=1.05, chunksize=None)
+        analysis = letkf.assimilate(state, obs)
+        assert analysis.valid
+        # the stacked state carries NaN at vgrid-padding slots by design
+        # (reindex padding, dropped again by postprocess); the analysis must
+        # be finite exactly where the background was
+        back_finite = np.isfinite(np.asarray(state.data))
+        ana = np.asarray(analysis.data)
+        assert np.isfinite(ana[back_finite]).all()
+        assert np.isnan(ana[~back_finite]).all()
+        # write the analysis back into a model dataset
+        out_ds = postprocess_cosmo(analysis, ds)
+        for var in ASSIM_VARS:
+            assert np.isfinite(out_ds[var].values).all()
+        # the update actually changed the observed field
+        assert not np.allclose(out_ds["T_2M"].values, ds["T_2M"].values)

@@ -15,6 +15,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpu_assim.interface.mixin_local import map_grid_chunked
 from tpu_assim.ops.etkf import (
@@ -138,13 +139,24 @@ def make_letkf_analysis(
                 letkf_window_analysis_fused,
             )
 
+            if not hasattr(localization, "radius"):
+                raise TypeError(
+                    "method='fused1d' needs a Gaspari-Cohn localization "
+                    "(single radius); got {0}".format(type(localization))
+                )
+            radius_arr = np.atleast_1d(np.asarray(localization.radius))
+            if radius_arr.size != 1:
+                raise ValueError(
+                    "method='fused1d' supports a single localization "
+                    "radius; got {0}".format(radius_arr)
+                )
             k = state_data.shape[0]
             reg = jnp.asarray((k - 1) / inf_factor, perts.dtype)
             mean = jnp.mean(state_data, axis=0)
             sp = state_data - mean[None, :]
             return letkf_window_analysis_fused(
                 perts, innov, obs_coords[:, 0], grid_coords[:, 0], sp,
-                mean, reg, float(localization.radius[0]), k,
+                mean, reg, float(radius_arr[0]), k,
                 nb=max_obs, degree=cheb_degree,
                 epsilon=float(localization.epsilon),
             )
