@@ -443,36 +443,38 @@ def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
     start = jnp.clip(center - (nb // 2), 0.0,
                      float(n_obs - nb)).astype(jnp.int32)
 
-    # 2-3. per-slot one-hot selection + taper (iota must be integer on TPU)
+    # 2-3. one-hot window selection for ALL nb slots in one shot: lanes are
+    # (slot, column) pairs, so the nb MXU contractions fuse into ONE
+    # [k, o] @ [o, nb*T] matmul and the masked sums into one reduction each
+    # (iota must be integer on TPU)
+    t_cols = grid_x.shape[1]
     iota_o = jax.lax.broadcasted_iota(jnp.int32, (n_obs, 1), 0)  # [o, 1]
-    zh_rows = []
-    yh_rows = []
+    slot = jax.lax.broadcasted_iota(jnp.int32, (nb, t_cols), 0)  # [nb, T]
+    sel_all = (start[None, :] + slot).reshape(1, nb * t_cols)   # [1, nb*T]
+    onehot = jnp.where(iota_o == sel_all, 1.0, 0.0)             # [o, nb*T]
     hp = jax.lax.Precision.HIGHEST
-    for n in range(nb):
-        sel = start[None, :] + n                               # [1, T]
-        onehot = jnp.where(iota_o == sel, 1.0, 0.0)            # [o, T]
-        ox_n = jnp.sum(obs_x.reshape(-1, 1) * onehot, axis=0)  # [T]
-        yv_n = jnp.sum(innov.reshape(-1, 1) * onehot, axis=0)  # [T]
-        zz_n = jax.lax.dot_general(
-            perts, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=hp,
-        )                                                      # [k, T]
-        # Gaspari-Cohn GC(z, 1/2, c) (reference gaspari_cohn.py:77-95)
-        z = jnp.abs(ox_n - grid_x[0]) / radius
-        z_safe = jnp.maximum(z, 0.5)
-        f2v = (z_safe ** 5 / 12.0 - 0.5 * z_safe ** 4
-               + 0.625 * z_safe ** 3 + 5.0 / 3.0 * z_safe ** 2
-               - 5.0 * z_safe + 4.0 - 2.0 / 3.0 / z_safe)
-        f1v = (-0.25 * z ** 5 + 0.5 * z ** 4 + 0.625 * z ** 3
-               - 5.0 / 3.0 * z ** 2 + 1.0)
-        w = jnp.where(z < 2.0, f2v, 0.0)
-        w = jnp.where(z < 1.0, f1v, w)
-        w = jnp.where(w > epsilon, w, 0.0)
-        sw = jnp.sqrt(w)                                       # [T]
-        zh_rows.append(zz_n * sw[None, :])
-        yh_rows.append(yv_n * sw)
-    zh = jnp.stack(zh_rows, axis=0)                            # [nb, k, T]
-    yh = jnp.stack(yh_rows, axis=0)                            # [nb, T]
+    ox = jnp.sum(obs_x.reshape(-1, 1) * onehot, axis=0
+                 ).reshape(nb, t_cols)                          # [nb, T]
+    yv = jnp.sum(innov.reshape(-1, 1) * onehot, axis=0
+                 ).reshape(nb, t_cols)                          # [nb, T]
+    zz = jax.lax.dot_general(
+        perts, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=hp,
+    ).reshape(ens_size, nb, t_cols)                             # [k, nb, T]
+    # Gaspari-Cohn GC(z, 1/2, c) on all slots (gaspari_cohn.py:77-95)
+    z = jnp.abs(ox - grid_x) / radius                           # [nb, T]
+    z_safe = jnp.maximum(z, 0.5)
+    f2v = (z_safe ** 5 / 12.0 - 0.5 * z_safe ** 4
+           + 0.625 * z_safe ** 3 + 5.0 / 3.0 * z_safe ** 2
+           - 5.0 * z_safe + 4.0 - 2.0 / 3.0 / z_safe)
+    f1v = (-0.25 * z ** 5 + 0.5 * z ** 4 + 0.625 * z ** 3
+           - 5.0 / 3.0 * z ** 2 + 1.0)
+    w = jnp.where(z < 2.0, f2v, 0.0)
+    w = jnp.where(z < 1.0, f1v, w)
+    w = jnp.where(w > epsilon, w, 0.0)
+    sw = jnp.sqrt(w)                                            # [nb, T]
+    zh = jnp.swapaxes(zz, 0, 1) * sw[:, None, :]                # [nb, k, T]
+    yh = yv * sw                                                # [nb, T]
 
     # 4. Chebyshev solve + apply (same math as _letkf_cheb_kernel)
     s = jnp.stack(
