@@ -71,9 +71,20 @@ class FilterAssimilation(BaseAssimilation):
         ens_obs, filtered_obs = self._apply_obs_operator(
             pseudo_state, observations
         )
+        return self._estimate_and_apply(state, filtered_obs, ens_obs)
+
+    def _estimate_and_apply(
+        self,
+        state: EnsembleState,
+        filtered_obs: List[Observation],
+        ens_obs: List[jnp.ndarray],
+    ) -> EnsembleState:
+        """Estimate weights, optionally checkpoint them, apply them
+        (reference: filter.py:155-165). Overridden by algorithms with a
+        fused solve+apply fast path that never materializes the
+        ``[grid, k, k]`` weights (LETKF method='cheb'/'fused1d')."""
         weights = self.estimate_weights(state, filtered_obs, ens_obs)
         if self.weight_save_path is not None:
             self.store_weights(weights)
             weights = self.load_weights()
-        analysis = self._apply_weights(state, weights)
-        return analysis
+        return self._apply_weights(state, weights)

@@ -32,13 +32,14 @@ from tpu_assim.state import EnsembleState
 __all__ = ["LETKF"]
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _letkf_solve(
-    localization, chunksize, max_obs, selection,
+    localization, chunksize, max_obs, selection, method, newton_iters,
     ens_obs_perts, innovations, grid_info, obs_info, inf_factor,
 ):
-    """Jitted localized solve; localization/chunksize/max_obs/selection are
-    static config (hashable by identity/value), arrays are traced."""
+    """Jitted localized solve; localization/chunksize/max_obs/selection/
+    method are static config (hashable by identity/value), arrays are
+    traced."""
     from tpu_assim.ops.etkf import letkf_weights_nbh
     from tpu_assim.ops.localization import (
         neighborhood_select,
@@ -60,6 +61,7 @@ def _letkf_solve(
             return letkf_weights_nbh(
                 ens_obs_perts, innovations, idx,
                 w_nbh.astype(ens_obs_perts.dtype), inf_factor,
+                method=method, newton_iters=newton_iters,
             )
         if localization is None:
             w_loc = jnp.ones(
@@ -71,10 +73,85 @@ def _letkf_solve(
                 ens_obs_perts.dtype
             )
         return letkf_weights_dense(
-            ens_obs_perts, innovations, w_loc, inf_factor
+            ens_obs_perts, innovations, w_loc, inf_factor,
+            method=method, newton_iters=newton_iters,
         )
 
     return map_grid_chunked(chunk_fn, grid_info, chunksize)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _letkf_fused_analysis(
+    localization, chunksize, max_obs, selection, method, cheb_degree,
+    ens_obs_perts, innovations, grid_info, obs_info, inf_factor, data,
+):
+    """Fused solve+apply: the full [v, t, k, g] analysis WITHOUT
+    materializing the [g, k, k] weights — one obs-space Chebyshev solve per
+    column shared across every (var, time) slice, per-slice Clenshaw
+    application inside the Pallas kernel (the class-API route to the
+    monolithic-kernel speed; same math as the reference's estimate + apply,
+    interface/letkf.py:104-148 + base.py:256-278)."""
+    from tpu_assim.ops.localization import (
+        neighborhood_select,
+        neighborhood_select_window,
+    )
+    from tpu_assim.ops.pallas.letkf import (
+        letkf_nbh_analysis_cheb,
+        letkf_window_analysis_fused,
+    )
+
+    v, t, k, g = data.shape
+    dtype = ens_obs_perts.dtype
+    flat = data.reshape(v * t, k, g)
+    mean = jnp.mean(flat, axis=1)                       # [vt, g]
+    sp = flat - mean[:, None, :]                        # [vt, k, g]
+    reg = (k - 1) / jnp.asarray(inf_factor, dtype)
+
+    if method == "fused1d":
+        # monolithic window kernel: needs sorted 1-D obs coords and a
+        # single-radius GaspariCohn (checked in LETKF.__init__ / here)
+        out = letkf_window_analysis_fused(
+            ens_obs_perts, innovations, obs_info[:, 1], grid_info[:, 1],
+            sp, mean, reg, float(localization.radius[0]), k,
+            nb=max_obs, degree=cheb_degree,
+            epsilon=float(localization.epsilon),
+        )
+        return out.reshape(v, t, k, g).astype(data.dtype)
+
+    def cheb_chunk(gi_chunk, sp_chunk, mean_chunk):
+        if selection == "window":
+            idx, w_nbh = neighborhood_select_window(
+                localization, gi_chunk, obs_info, max_obs
+            )
+        else:
+            idx, w_nbh = neighborhood_select(
+                localization, gi_chunk, obs_info, max_obs
+            )
+        sw = jnp.sqrt(w_nbh).astype(dtype)              # [c, nb]
+        zh = ens_obs_perts[:, idx].transpose(2, 0, 1) * sw.T[:, None, :]
+        yh = innovations[idx].T * sw.T                  # [nb, c]
+        return letkf_nbh_analysis_cheb(
+            zh, yh, sp_chunk, mean_chunk, reg, k, degree=cheb_degree,
+        )                                               # [vt, k, c]
+
+    if chunksize is None or chunksize >= g:
+        out = cheb_chunk(grid_info, sp, mean)
+    else:
+        n_chunks = -(-g // chunksize)
+        pad = n_chunks * chunksize - g
+        gi_p = jnp.pad(grid_info, ((0, pad), (0, 0)), mode="edge")
+        sp_p = jnp.pad(sp, ((0, 0), (0, 0), (0, pad)))
+        mean_p = jnp.pad(mean, ((0, 0), (0, pad)))
+        out = jax.lax.map(
+            lambda c: cheb_chunk(
+                gi_p.reshape(n_chunks, chunksize, -1)[c],
+                sp_p.reshape(v * t, k, n_chunks, chunksize)[:, :, c],
+                mean_p.reshape(v * t, n_chunks, chunksize)[:, c],
+            ),
+            jnp.arange(n_chunks),
+        )  # [n_chunks, vt, k, chunksize]
+        out = out.transpose(1, 2, 0, 3).reshape(v * t, k, -1)[:, :, :g]
+    return out.reshape(v, t, k, g).astype(data.dtype)
 
 
 class LETKF(DomainLocalizedMixin, ETKF):
@@ -89,6 +166,17 @@ class LETKF(DomainLocalizedMixin, ETKF):
     chunksize : grid columns per processing chunk (HBM bound); None = whole
         grid at once. The reference's dask ``chunksize`` analog
         (letkf.py:80,121).
+    method : solver path (docs/solvers.md). Weight-based (materialize
+        [g, k, k] weights, required for ``weight_save_path``): ``"eigh"``
+        (exact, default), ``"newton"``, ``"woodbury"`` (obs-neighborhood
+        only). Fused solve+apply fast paths (never materialize weights;
+        require ``localization`` and ``max_obs``): ``"cheb"`` — the
+        Chebyshev/Clenshaw Pallas kernel with the obs-space solve shared
+        across all (var, time) state slices; ``"fused1d"`` — the monolithic
+        window kernel (selection + taper + gather + solve + apply in one
+        pallas_call; needs sorted 1-D obs coords and single-radius
+        GaspariCohn).
+    cheb_degree : Chebyshev degree for the fused paths.
     """
 
     def __init__(
@@ -103,6 +191,9 @@ class LETKF(DomainLocalizedMixin, ETKF):
         forward_model=None,
         max_obs: Optional[int] = None,
         selection: str = "topk",
+        method: str = "eigh",
+        newton_iters: int = 25,
+        cheb_degree: int = 12,
     ):
         super().__init__(
             inf_factor=inf_factor,
@@ -116,6 +207,34 @@ class LETKF(DomainLocalizedMixin, ETKF):
         self.chunksize = chunksize
         self.max_obs = max_obs
         self.selection = selection
+        self.method = method
+        self.newton_iters = newton_iters
+        self.cheb_degree = cheb_degree
+        if method in ("cheb", "fused1d"):
+            if localization is None or max_obs is None:
+                raise ValueError(
+                    "method={0!r} needs localization and max_obs".format(
+                        method
+                    )
+                )
+            if weight_save_path is not None:
+                raise ValueError(
+                    "method={0!r} never materializes the weight matrices; "
+                    "use a weight-based method with weight_save_path".format(
+                        method
+                    )
+                )
+        if method == "fused1d":
+            import numpy as np
+
+            radius = np.atleast_1d(
+                np.asarray(getattr(localization, "radius", None))
+            )
+            if radius.size != 1 or radius[0] is None:
+                raise ValueError(
+                    "method='fused1d' needs a single-radius GaspariCohn "
+                    "localization"
+                )
 
     def __str__(self):
         return "Localized ETKF(inf_factor={0}, loc={1})".format(
@@ -138,14 +257,53 @@ class LETKF(DomainLocalizedMixin, ETKF):
             ens_obs, filtered_obs
         )
         grid_info = state.grid_info()
+        method = self.method
+        if method in ("cheb", "fused1d"):
+            # direct estimate_weights calls on a fused-configured instance
+            # still get exact weight matrices
+            method = "eigh"
         return _letkf_solve(
             self.localization,
             self.chunksize,
             self.max_obs,
             self.selection,
+            method,
+            self.newton_iters,
             ens_obs_perts,
             innovations,
             grid_info,
             obs_info,
             jnp.asarray(self.inf_factor, dtype=ens_obs_perts.dtype),
         )
+
+    def _estimate_and_apply(
+        self,
+        state: EnsembleState,
+        filtered_obs: List[Observation],
+        ens_obs: List[jnp.ndarray],
+    ) -> EnsembleState:
+        """Fused solve+apply for method='cheb'/'fused1d': the obs-space
+        solve is shared across every (var, time) slice and the weights are
+        never materialized — mathematically identical to estimate_weights +
+        _apply_weights (one weight matrix per column applied to all slices,
+        reference base.py:256-278)."""
+        if self.method not in ("cheb", "fused1d"):
+            return super()._estimate_and_apply(state, filtered_obs, ens_obs)
+        innovations, ens_obs_perts, obs_info = self._get_obs_space_variables(
+            ens_obs, filtered_obs
+        )
+        analysis_data = _letkf_fused_analysis(
+            self.localization,
+            self.chunksize,
+            self.max_obs,
+            self.selection,
+            self.method,
+            self.cheb_degree,
+            ens_obs_perts,
+            innovations,
+            state.grid_info(),
+            obs_info,
+            jnp.asarray(self.inf_factor, dtype=ens_obs_perts.dtype),
+            state.data,
+        )
+        return state.replace(data=analysis_data)

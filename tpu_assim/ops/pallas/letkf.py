@@ -43,6 +43,14 @@ __all__ = [
 ]
 
 
+
+def _resolve_interpret(interpret):
+    """None = auto: interpret mode off-TPU (the CPU test environment), the
+    compiled Mosaic kernel on TPU."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
 def _coupled_ns(x, eye, num_iters):
     """Coupled Newton-Schulz: x (scaled to spectrum in (0,2)) ->
     (x^{1/2}, x^{-1/2}), matmul-only."""
@@ -160,7 +168,7 @@ def letkf_nbh_analysis_fused(
     ens_size: int,
     num_iters: int = 10,
     tile: int = 128,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused localized-ETKF analysis for one batch of grid columns.
 
@@ -212,7 +220,7 @@ def letkf_nbh_analysis_fused(
         out_specs=pl.BlockSpec((tile, k), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles * tile, k), f32),
-        interpret=interpret,
+        interpret=_resolve_interpret(interpret),
     )(reg_arr, zh.astype(f32), yh.astype(f32), sp.astype(f32),
       mean.astype(f32)[:, None])
     return out[:g]
@@ -251,19 +259,23 @@ def _cheb_nodes_dct(degree: int):
     return nodes.astype(np.float32), dct.astype(np.float32)
 
 
-def _letkf_cheb_kernel(reg_ref, nodes_ref, dct_ref, zh_ref, yh_ref, sp_ref,
-                       mean_ref, out_ref, *, ens_size, degree):
-    """One tile of T grid columns, lane-major ([.., T]).
+def _cheb_solve_apply(nodes, dct_mat, zh, yh, sp, mean, reg,
+                      ens_size, degree):
+    """Shared Chebyshev/Clenshaw solve + weight application, lane-major.
 
     zh [nb, k, T] scaled neighborhood perts; yh [nb, T] scaled innovations;
-    sp [k, T] state perturbations; mean [1, T]; out [k, T].
+    sp [ns, k, T] state perturbations of ns stacked (var, time) slices;
+    mean [ns, 1, T] -> analysis [ns, k, T].
+
+    The obs-space solve (Gram S, spectral bound, coefficients, q = X^{-1} yh)
+    is shared across the ns state slices; only the per-slice operands
+    u_i = Zh sp_i ride along. All 1 + ns Clenshaw operands run in ONE joint
+    recurrence with per-operand coefficient stacks, so the S matvec is a
+    single broadcasted multiply per degree step.
     """
     f32 = jnp.float32
-    reg = reg_ref[0]
-    zh = zh_ref[:]
-    yh = yh_ref[:]
-    sp = sp_ref[:]
     nb = zh.shape[0]
+    ns = sp.shape[0]
 
     # S[n, m, c] = sum_k zh[n, k, c] zh[m, k, c]  — nb sublane reductions
     s = jnp.stack(
@@ -280,44 +292,65 @@ def _letkf_cheb_kernel(reg_ref, nodes_ref, dct_ref, zh_ref, yh_ref, sp_ref,
 
     # Chebyshev coefficients of f1(x)=1/x and f2(x)=1/(sqrt(x)(1+sqrt(x)))
     # on [1, lam_ub], per column: evaluate at mapped nodes, static DCT.
-    t_nodes = nodes_ref[:].reshape(-1, 1)                    # [d+1, 1]
+    t_nodes = nodes.reshape(-1, 1)                           # [d+1, 1]
     half_w = 0.5 * (lam_ub - 1.0)[None, :]
     x_nodes = (1.0 + half_w) + half_w * t_nodes              # [d+1, T]
     f1x = 1.0 / x_nodes
     sq = jnp.sqrt(x_nodes)
     f2x = 1.0 / (sq * (1.0 + sq))
-    dct_mat = dct_ref[:]                                     # [d+1, d+1]
     hp = jax.lax.Precision.HIGHEST
     c1 = jnp.einsum("mj,jc->mc", dct_mat, f1x,
                     preferred_element_type=f32, precision=hp)
     c2 = jnp.einsum("mj,jc->mc", dct_mat, f2x,
                     preferred_element_type=f32, precision=hp)
+    # per-operand coefficient stack: slot 0 = f1 (innovations), 1.. = f2
+    c_all = jnp.concatenate(
+        [c1[:, None, :],
+         jnp.broadcast_to(c2[:, None, :], c2.shape[:1] + (ns,) + c2.shape[1:])],
+        axis=1,
+    )                                                        # [d+1, 1+ns, T]
 
     # normalized operator: Xt = (2 X - (lam_ub + 1) I) / (lam_ub - 1)
     a_sc = (2.0 / (lam_ub - 1.0))[None, :]                   # [1, T]
     b_sc = (-(lam_ub + 1.0) / (lam_ub - 1.0))[None, :]
 
-    def xt(vec):  # [nb, T] -> [nb, T]
-        sv = jnp.sum(s * vec[None, :, :], axis=1)            # S @ vec
+    def xt(vec):  # [1+ns, nb, T] -> [1+ns, nb, T]
+        sv = jnp.sum(s[None] * vec[:, None, :, :], axis=2)   # S @ vec per op
         return a_sc * (vec + sv / reg) + b_sc * vec
 
-    u = jnp.sum(zh * sp[None, :, :], axis=1)                 # [nb, T]
+    u = jnp.stack(
+        [jnp.sum(zh * sp[i][None, :, :], axis=1) for i in range(ns)], axis=0
+    )                                                        # [ns, nb, T]
+    w_all = jnp.concatenate([yh[None], u], axis=0)           # [1+ns, nb, T]
 
-    def clenshaw(coeffs, w_vec):
-        b1 = jnp.zeros_like(w_vec)
-        b2 = jnp.zeros_like(w_vec)
-        for m_i in range(degree, 0, -1):
-            b0 = coeffs[m_i][None, :] * w_vec + 2.0 * xt(b1) - b2
-            b2, b1 = b1, b0
-        return coeffs[0][None, :] * w_vec + xt(b1) - b2
-
-    q = clenshaw(c1, yh)                                     # X^{-1} yh
-    v = clenshaw(c2, u)                                      # f2(X) u
+    b1 = jnp.zeros_like(w_all)
+    b2 = jnp.zeros_like(w_all)
+    for m_i in range(degree, 0, -1):
+        b0 = c_all[m_i][:, None, :] * w_all + 2.0 * xt(b1) - b2
+        b2, b1 = b1, b0
+    res = c_all[0][:, None, :] * w_all + xt(b1) - b2         # [1+ns, nb, T]
+    q = res[0]                                               # X^{-1} yh
+    v = res[1:]                                              # f2(X) u
 
     alpha = jnp.sqrt((ens_size - 1.0) / reg)
-    mean_upd = jnp.sum(u * q, axis=0)[None, :] / reg         # [1, T]
-    zv = jnp.sum(zh * v[:, None, :], axis=0)                 # [k, T]
-    out_ref[:] = mean_ref[:] + mean_upd + alpha * sp - (alpha / reg) * zv
+    mean_upd = jnp.sum(u * q[None], axis=1, keepdims=True) / reg  # [ns, 1, T]
+    zv = jnp.stack(
+        [jnp.sum(zh * v[i][:, None, :], axis=0) for i in range(ns)], axis=0
+    )                                                        # [ns, k, T]
+    return mean + mean_upd + alpha * sp - (alpha / reg) * zv
+
+
+def _letkf_cheb_kernel(reg_ref, nodes_ref, dct_ref, zh_ref, yh_ref, sp_ref,
+                       mean_ref, out_ref, *, ens_size, degree):
+    """One tile of T grid columns, lane-major ([.., T]).
+
+    zh [nb, k, T] scaled neighborhood perts; yh [nb, T] scaled innovations;
+    sp [ns, k, T] state perturbations; mean [ns, 1, T]; out [ns, k, T].
+    """
+    out_ref[:] = _cheb_solve_apply(
+        nodes_ref[:], dct_ref[:], zh_ref[:], yh_ref[:], sp_ref[:],
+        mean_ref[:], reg_ref[0], ens_size, degree,
+    )
 
 
 @functools.partial(
@@ -333,7 +366,7 @@ def letkf_nbh_analysis_cheb(
     ens_size: int,
     degree: int = 16,
     tile: int = 128,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused localized-ETKF analysis, Chebyshev/Clenshaw form (lane-major).
 
@@ -341,8 +374,11 @@ def letkf_nbh_analysis_cheb(
     ----------
     zh : [nb, k, g] sqrt(taper-weight)-scaled neighborhood obs perturbations.
     yh : [nb, g] scaled innovations.
-    sp : [k, g] state ensemble perturbations.
-    mean : [g] state ensemble mean.
+    sp : [k, g] — or [ns, k, g] for ns stacked (var, time) state slices that
+        share the same obs-space solve (the 4-D interface state reshaped to
+        [v*t, k, g]; the reference applies ONE weight matrix per column to
+        every (var, time) slice, base.py:256-278).
+    mean : [g] (or [ns, g]) state ensemble mean.
     reg : scalar regularizer ``(K-1)/rho``.
     ens_size : ensemble size K (static).
     degree : Chebyshev degree (static; 12 reaches ~1e-6 for the benchmark
@@ -350,8 +386,13 @@ def letkf_nbh_analysis_cheb(
 
     Returns
     -------
-    analysis : [k, g] analysed ensemble (member-major).
+    analysis : [k, g] (or [ns, k, g]) analysed ensemble (member-major).
     """
+    multi = sp.ndim == 3
+    if not multi:
+        sp = sp[None]
+        mean = mean[None]
+    ns = sp.shape[0]
     nb, k, g = zh.shape
     f32 = jnp.float32
     n_tiles = -(-g // tile)
@@ -359,8 +400,8 @@ def letkf_nbh_analysis_cheb(
     if pad:
         zh = jnp.pad(zh, ((0, 0), (0, 0), (0, pad)))
         yh = jnp.pad(yh, ((0, 0), (0, pad)))
-        sp = jnp.pad(sp, ((0, 0), (0, pad)))
-        mean = jnp.pad(mean, ((0, pad),))
+        sp = jnp.pad(sp, ((0, 0), (0, 0), (0, pad)))
+        mean = jnp.pad(mean, ((0, 0), (0, pad)))
     reg_arr = jnp.reshape(reg.astype(f32), (1,))
     nodes, dct = _cheb_nodes_dct(degree)
 
@@ -381,19 +422,20 @@ def letkf_nbh_analysis_cheb(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nb, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tile), lambda i: (0, i),
+            pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
+            pl.BlockSpec((ns, 1, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k, tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, n_tiles * tile), f32),
-        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((ns, k, n_tiles * tile), f32),
+        interpret=_resolve_interpret(interpret),
     )(reg_arr, jnp.asarray(nodes)[None, :], jnp.asarray(dct),
       zh.astype(f32), yh.astype(f32), sp.astype(f32),
-      mean.astype(f32)[None, :])
-    return out[:, :g]
+      mean.astype(f32)[:, None, :])
+    out = out[:, :, :g]
+    return out if multi else out[0]
 
 
 # ---------------------------------------------------------------------------
@@ -434,7 +476,7 @@ def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
     innov = pack[k_rows:k_rows + 1]   # [1, o]
     obs_x = pack[k_rows + 1:k_rows + 2]  # [1, o]
     grid_x = gridx_ref[:]             # [1, T]
-    sp = sp_ref[:]                    # [k, T]
+    sp = sp_ref[:]                    # [ns, k, T]
     n_obs = perts.shape[1]
 
     # 1. window starts by rank of grid_x among obs_x
@@ -476,47 +518,11 @@ def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
     zh = jnp.swapaxes(zz, 0, 1) * sw[:, None, :]                # [nb, k, T]
     yh = yv * sw                                                # [nb, T]
 
-    # 4. Chebyshev solve + apply (same math as _letkf_cheb_kernel)
-    s = jnp.stack(
-        [jnp.sum(zh[n][None, :, :] * zh, axis=1) for n in range(nb)], axis=0
+    # 4. Chebyshev solve + apply (shared with _letkf_cheb_kernel)
+    out_ref[:] = _cheb_solve_apply(
+        nodes_ref[:], dct_ref[:], zh, yh, sp, mean_ref[:], reg,
+        ens_size, degree,
     )
-    inf_norm = jnp.max(jnp.sum(jnp.abs(s), axis=1), axis=0)
-    trace = jnp.sum(jnp.stack([s[n, n] for n in range(nb)], axis=0), axis=0)
-    lam_ub = jnp.maximum(1.0 + jnp.minimum(inf_norm, trace) / reg, 1.05)
-    t_nodes = nodes_ref[:].reshape(-1, 1)
-    half_w = 0.5 * (lam_ub - 1.0)[None, :]
-    x_nodes = (1.0 + half_w) + half_w * t_nodes
-    f1x = 1.0 / x_nodes
-    sq = jnp.sqrt(x_nodes)
-    f2x = 1.0 / (sq * (1.0 + sq))
-    dct_mat = dct_ref[:]
-    c1 = jnp.einsum("mj,jc->mc", dct_mat, f1x,
-                    preferred_element_type=f32, precision=hp)
-    c2 = jnp.einsum("mj,jc->mc", dct_mat, f2x,
-                    preferred_element_type=f32, precision=hp)
-    a_sc = (2.0 / (lam_ub - 1.0))[None, :]
-    b_sc = (-(lam_ub + 1.0) / (lam_ub - 1.0))[None, :]
-
-    def xt(vec):
-        sv = jnp.sum(s * vec[None, :, :], axis=1)
-        return a_sc * (vec + sv / reg) + b_sc * vec
-
-    u = jnp.sum(zh * sp[None, :, :], axis=1)
-
-    def clenshaw(coeffs, w_vec):
-        b1 = jnp.zeros_like(w_vec)
-        b2 = jnp.zeros_like(w_vec)
-        for m_i in range(degree, 0, -1):
-            b0 = coeffs[m_i][None, :] * w_vec + 2.0 * xt(b1) - b2
-            b2, b1 = b1, b0
-        return coeffs[0][None, :] * w_vec + xt(b1) - b2
-
-    q = clenshaw(c1, yh)
-    v = clenshaw(c2, u)
-    alpha = jnp.sqrt((ens_size - 1.0) / reg)
-    mean_upd = jnp.sum(u * q, axis=0)[None, :] / reg
-    zv = jnp.sum(zh * v[:, None, :], axis=0)
-    out_ref[:] = mean_ref[:] + mean_upd + alpha * sp - (alpha / reg) * zv
 
 
 @functools.partial(
@@ -539,7 +545,7 @@ def letkf_window_analysis_fused(
     tile: int = 128,
     epsilon: float = 1e-5,
     obs_block: int = 0,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """The complete 1-D-window LETKF analysis as ONE Pallas kernel.
 
@@ -551,7 +557,9 @@ def letkf_window_analysis_fused(
     grid_x : [g] grid coordinates; must be ordered so that every tile of
         ``tile`` consecutive columns spans a contiguous coordinate range
         when ``obs_block`` kicks in (a globally sorted grid satisfies this).
-    sp : [k, g] state perturbations; mean [g] state mean.
+    sp : [k, g] state perturbations — or [ns, k, g] for ns stacked
+        (var, time) state slices sharing the obs-space solve; mean [g]
+        (or [ns, g]) state mean.
     reg : scalar (K-1)/rho; radius : static Gaspari-Cohn radius.
     nb : window size (exact when every column has at most nb nonzero-taper
         obs and obs are sorted — same condition as neighborhood_select_window).
@@ -561,18 +569,23 @@ def letkf_window_analysis_fused(
         of the sorted obs — exact as long as no tile's coordinate span
         contains more than ``obs_block - 2 nb`` observations.
 
-    Returns analysis [k, g].
+    Returns analysis [k, g] (or [ns, k, g]).
     """
     k, o = perts.shape
     g = grid_x.shape[0]
+    multi = sp.ndim == 3
+    if not multi:
+        sp = sp[None]
+        mean = mean[None]
+    ns = sp.shape[0]
     f32 = jnp.float32
     n_tiles = -(-g // tile)
     pad = n_tiles * tile - g
     if pad:
         grid_x = jnp.pad(grid_x, ((0, pad),),
                          constant_values=grid_x[-1])
-        sp = jnp.pad(sp, ((0, 0), (0, pad)))
-        mean = jnp.pad(mean, ((0, pad),))
+        sp = jnp.pad(sp, ((0, 0), (0, 0), (0, pad)))
+        mean = jnp.pad(mean, ((0, 0), (0, pad)))
     scal = jnp.stack([reg.astype(f32),
                       jnp.asarray(radius, f32)]).reshape(2,)
     nodes, dct = _cheb_nodes_dct(degree)
@@ -646,16 +659,17 @@ def letkf_window_analysis_fused(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, tile), lambda i: (0, i),
+            pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
+            pl.BlockSpec((ns, 1, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k, tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, n_tiles * tile), f32),
-        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((ns, k, n_tiles * tile), f32),
+        interpret=_resolve_interpret(interpret),
     )(scal, jnp.asarray(nodes)[None, :], jnp.asarray(dct),
       pack, grid_x.astype(f32)[None, :],
-      sp.astype(f32), mean.astype(f32)[None, :])
-    return out[:, :g]
+      sp.astype(f32), mean.astype(f32)[:, None, :])
+    out = out[:, :, :g]
+    return out if multi else out[0]
