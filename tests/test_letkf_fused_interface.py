@@ -1,0 +1,293 @@
+"""Class-API fused-path oracle: LETKF(method='cheb'/'fused1d') through
+``assimilate()`` must match LETKF(method='eigh') on full 4-D
+[var, time, ens, grid] states.
+
+This is the flagship speed feature of the interface layer: the fused paths
+share one obs-space solve per column across every (var, time) slice and never
+materialize the [grid, k, k] weights — mathematically identical to the
+reference's estimate-then-apply contract
+(/root/reference/pytassim/interface/letkf.py:104-148 +
+/root/reference/pytassim/interface/base.py:256-278). The eigh path runs f64,
+the Pallas kernels f32, so parity is asserted at f32 accuracy.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_assim import EnsembleState, Observation, LETKF
+from tpu_assim.ops.localization import GaspariCohn
+from tpu_assim.testing import dummy_obs_operator
+
+
+def coord_dist(gc, oi):
+    """Distance on the spatial coordinate (column 1; column 0 is time)."""
+    return jnp.abs(oi[:, 1] - gc[1])[None, :]
+
+
+def make_state(rng, n_var=2, n_time=3, n_ens=10, n_grid=60):
+    data = rng.randn(n_var, n_time, n_ens, n_grid)
+    return EnsembleState(
+        jnp.asarray(data),
+        times=jnp.arange(n_time, dtype=jnp.float64),
+        grid_coords=jnp.arange(n_grid, dtype=jnp.float64)[:, None],
+        var_names=("x", "y")[:n_var],
+    )
+
+
+def make_obs(rng, state, n_obs=24, noise=0.5):
+    """Point obs of var 'x' at a sorted subset of grid columns."""
+    obs_idx = np.sort(rng.choice(state.n_grid, size=n_obs, replace=False))
+    truth = np.asarray(state.data[0].mean(axis=1))[:, obs_idx]  # [time, obs]
+    obs_vals = truth + rng.normal(scale=np.sqrt(noise), size=truth.shape)
+
+    def operator(obs, pseudo_state):
+        return pseudo_state.data[0][:, :, obs_idx]  # [time, ens, obs]
+
+    return Observation(
+        jnp.asarray(obs_vals),
+        covariance=jnp.full((n_obs,), noise),
+        obs_coords=state.grid_coords[obs_idx],
+        times=state.times,
+        operator=operator,
+    )
+
+
+@pytest.fixture
+def state(rng):
+    return make_state(rng)
+
+
+@pytest.fixture
+def obs(rng, state):
+    return make_obs(rng, state)
+
+
+def assert_close_f32(a, b, atol=5e-4):
+    a = np.asarray(a.data, dtype=np.float64)
+    b = np.asarray(b.data, dtype=np.float64)
+    scale = max(np.abs(b).max(), 1.0)
+    np.testing.assert_allclose(a, b, atol=atol * scale, rtol=0)
+
+
+LOC = GaspariCohn((6.0,), coord_dist)
+
+
+class TestFusedClassAPI:
+    """method='cheb'/'fused1d' through assimilate() == method='eigh'."""
+
+    @pytest.mark.parametrize("method", ["cheb", "fused1d"])
+    def test_filtering_mode_multivar(self, state, obs, method):
+        exact = LETKF(localization=LOC, inf_factor=1.1, max_obs=16,
+                      method="eigh", chunksize=None).assimilate(state, obs)
+        fused = LETKF(localization=LOC, inf_factor=1.1, max_obs=16,
+                      method=method, chunksize=None).assimilate(state, obs)
+        assert fused.valid
+        # filtering mode: one analysis time, ns = n_var slices > 1
+        assert fused.n_times == 1
+        assert fused.dtype == state.dtype
+        assert_close_f32(fused, exact)
+
+    @pytest.mark.parametrize("method", ["cheb", "fused1d"])
+    def test_smoother_mode_multislice(self, state, obs, method):
+        """Smoother mode: ns = n_var * n_time = 6 kernel slices, stacked
+        multi-time obs (unsorted stacked coords exercise the defensive
+        obs sort on the fused1d path)."""
+        exact = LETKF(localization=LOC, inf_factor=1.1, max_obs=48,
+                      method="eigh", smoother=True,
+                      chunksize=None).assimilate(state, obs)
+        fused = LETKF(localization=LOC, inf_factor=1.1, max_obs=48,
+                      method=method, smoother=True,
+                      chunksize=None).assimilate(state, obs)
+        assert fused.n_times == state.n_times
+        assert_close_f32(fused, exact)
+
+    @pytest.mark.parametrize("chunksize", [None, 17, 64])
+    def test_cheb_chunked_equals_unchunked(self, state, obs, chunksize):
+        full = LETKF(localization=LOC, inf_factor=1.1, max_obs=16,
+                     method="cheb", chunksize=None).assimilate(state, obs)
+        chunked = LETKF(localization=LOC, inf_factor=1.1, max_obs=16,
+                        method="cheb",
+                        chunksize=chunksize).assimilate(state, obs)
+        np.testing.assert_allclose(np.asarray(chunked.data),
+                                   np.asarray(full.data),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_cheb_window_selection(self, state, obs):
+        exact = LETKF(localization=LOC, inf_factor=1.1, max_obs=16,
+                      method="eigh", chunksize=None).assimilate(state, obs)
+        fused = LETKF(localization=LOC, inf_factor=1.1, max_obs=16,
+                      method="cheb", selection="window",
+                      chunksize=None).assimilate(state, obs)
+        assert_close_f32(fused, exact)
+
+    def test_estimate_weights_on_fused_instance_is_exact(self, state, obs):
+        """Direct estimate_weights calls on a fused-configured instance
+        return exact (eigh) [g, k, k] weight matrices."""
+        alg_f = LETKF(localization=LOC, inf_factor=1.1, max_obs=16,
+                      method="cheb", chunksize=None)
+        alg_e = LETKF(localization=LOC, inf_factor=1.1, max_obs=16,
+                      method="eigh", chunksize=None)
+        sliced = state.sel_time_index(state.time_index(None))
+        obs_t = obs.sel_time(float(state.times[-1]))
+        ens_obs, filtered = alg_f._apply_obs_operator(sliced, [obs_t])
+        w_f = alg_f.estimate_weights(sliced, filtered, ens_obs)
+        w_e = alg_e.estimate_weights(sliced, filtered, ens_obs)
+        assert w_f.shape == (state.n_grid, state.ens_size, state.ens_size)
+        np.testing.assert_allclose(np.asarray(w_f), np.asarray(w_e),
+                                   rtol=1e-10, atol=1e-10)
+
+    def test_fused_config_validation(self):
+        with pytest.raises(ValueError):
+            LETKF(method="cheb")  # needs localization + max_obs
+        with pytest.raises(ValueError):
+            LETKF(method="fused1d", localization=LOC, max_obs=16,
+                  weight_save_path="/tmp/w.h5")
+
+    def test_gcinf_fused1d(self, rng, state, obs):
+        """GC(z, inf, c) taper inside the monolithic window kernel
+        (reference: pytassim/localization/gaspari_cohn.py:139-254)."""
+        from tpu_assim.ops.localization import GaspariCohnInf
+
+        loc = GaspariCohnInf(6.0, coord_dist)
+        exact = LETKF(localization=loc, inf_factor=1.1, max_obs=16,
+                      method="eigh", chunksize=None).assimilate(state, obs)
+        fused = LETKF(localization=loc, inf_factor=1.1, max_obs=16,
+                      method="fused1d", chunksize=None).assimilate(state, obs)
+        assert_close_f32(fused, exact)
+
+    def test_pinned_degree_matches_auto_at_benchmark_conditioning(
+        self, state, obs
+    ):
+        auto = LETKF(localization=LOC, inf_factor=1.1, max_obs=16,
+                     method="cheb", chunksize=None).assimilate(state, obs)
+        pinned = LETKF(localization=LOC, inf_factor=1.1, max_obs=16,
+                       method="cheb", cheb_degree=24,
+                       chunksize=None).assimilate(state, obs)
+        np.testing.assert_allclose(np.asarray(pinned.data),
+                                   np.asarray(auto.data),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_single_var_single_time(self, rng):
+        """ns = 1 through the class API (the [1, 1, k, g] degenerate case)."""
+        state = make_state(rng, n_var=1, n_time=1, n_ens=8, n_grid=40)
+        obs = make_obs(rng, state, n_obs=16)
+        exact = LETKF(localization=LOC, inf_factor=1.05, max_obs=12,
+                      method="eigh", chunksize=None).assimilate(state, obs)
+        for method in ("cheb", "fused1d"):
+            fused = LETKF(localization=LOC, inf_factor=1.05, max_obs=12,
+                          method=method,
+                          chunksize=None).assimilate(state, obs)
+            assert_close_f32(fused, exact)
+
+
+class TestExactnessGuards:
+    """The round-1 silent-exactness hazards now either auto-correct
+    (concrete inputs: exact obs_block / obs sorting) or fail loudly
+    (traced inputs: NaN poisoning)."""
+
+    def _clustered_workload(self, rng, g=600, o=64):
+        """All obs clustered into one tile's coordinate span — breaks the
+        mean-density obs_block heuristic."""
+        state = rng.randn(8, g)
+        obs_x = np.sort(rng.uniform(0.0, 100.0, size=o))  # all in tile 0
+        obs_idx = np.clip(np.rint(obs_x), 0, g - 1).astype("i4")
+        obs_vals = rng.randn(o)
+        obs_var = np.ones(o)
+        grid_coords = np.arange(g, dtype=np.float64)[:, None]
+        return tuple(jnp.asarray(a) for a in (
+            state, obs_vals, obs_var, obs_idx, grid_coords, obs_x[:, None]))
+
+    def test_clustered_obs_exact_via_required_obs_block(self, rng):
+        """Direct (concrete) calls compute the exact per-tile block: the
+        clustered workload that round 1 silently truncated now matches the
+        eigh path."""
+        from tpu_assim.analysis import make_letkf_analysis
+
+        args = self._clustered_workload(rng)
+        loc = GaspariCohn((8.0,), coord_dist)
+        exact = make_letkf_analysis(loc, 1.1, method="eigh")(*args)
+        fused = make_letkf_analysis(loc, 1.1, method="fused1d",
+                                    max_obs=24, cheb_degree=24)(*args)
+        rel = float(np.abs(np.asarray(fused) - np.asarray(exact)).max()
+                    / np.abs(np.asarray(exact)).max())
+        assert np.isfinite(np.asarray(fused)).all()
+        # 2e-4: the f32 floor at this clustered conditioning (the same
+        # value at degree 16 and 24); blocked-vs-full-table exactness is
+        # asserted separately (test_required_obs_block_covers_kernel_windows)
+        assert rel < 2e-4, rel
+
+    def test_overflowing_block_poisons_not_silent(self, rng):
+        """A hand-forced too-small obs_block NaN-poisons the overflowing
+        tiles instead of silently dropping observations."""
+        from tpu_assim.ops.pallas.letkf import letkf_window_analysis_fused
+
+        args = self._clustered_workload(rng)
+        state, obs_vals, obs_var, obs_idx, grid_coords, obs_coords = args
+        k = state.shape[0]
+        perts = state[:, obs_idx] - state[:, obs_idx].mean(0)
+        innov = obs_vals - state[:, obs_idx].mean(0)
+        mean = state.mean(0)
+        sp = state - mean
+        out = letkf_window_analysis_fused(
+            perts, innov, obs_coords[:, 0], grid_coords[:, 0], sp, mean,
+            jnp.asarray((k - 1) / 1.1, jnp.float32), 8.0, k,
+            nb=24, obs_block=56, interpret=True,
+        )
+        out = np.asarray(out)
+        assert np.isnan(out[:, :128]).all()      # overflowing tile 0
+        assert np.isfinite(out[:, 256:]).all()   # obs-free tiles fine
+
+    def test_unsorted_obs_raises_on_concrete_call(self, rng):
+        from tpu_assim.analysis import make_letkf_analysis
+
+        args = list(self._clustered_workload(rng))
+        args[5] = args[5][::-1]  # descending coords
+        loc = GaspariCohn((8.0,), coord_dist)
+        fn = make_letkf_analysis(loc, 1.1, method="fused1d", max_obs=24)
+        with pytest.raises(ValueError, match="sorted"):
+            fn(*args)
+
+    def test_unsorted_obs_poisons_window_selection(self, rng):
+        """neighborhood_select_window NaN-poisons its weights on unsorted
+        coords instead of returning wrong neighborhoods."""
+        from tpu_assim.ops.localization import neighborhood_select_window
+
+        g, o = 50, 16
+        gi = jnp.asarray(np.stack([np.zeros(g), np.arange(g, dtype="f8")], 1))
+        ox = np.sort(rng.uniform(0, g, size=o))[::-1].copy()
+        oi = jnp.asarray(np.stack([np.zeros(o), ox], 1))
+        loc = GaspariCohn((5.0,), coord_dist)
+        _, w = neighborhood_select_window(loc, gi, oi, 8)
+        assert np.isnan(np.asarray(w)).all()
+
+    def test_required_obs_block_covers_kernel_windows(self, rng):
+        """Property: blocked output == full-table output at the computed
+        width, for adversarial obs layouts."""
+        from tpu_assim.ops.pallas.letkf import (
+            letkf_window_analysis_fused, required_obs_block)
+
+        for trial in range(3):
+            g, o, k = 300, 40, 6
+            obs_x = np.sort(np.concatenate([
+                rng.uniform(0, 30, size=o // 2),      # clustered head
+                rng.uniform(0, g, size=o - o // 2),   # spread tail
+            ]))
+            grid_x = np.arange(g, dtype="f8")
+            perts = rng.randn(k, o)
+            innov = rng.randn(o)
+            state = rng.randn(k, g)
+            mean = state.mean(0)
+            sp = state - mean
+            reg = jnp.asarray((k - 1) / 1.1, jnp.float32)
+            common = (jnp.asarray(perts), jnp.asarray(innov),
+                      jnp.asarray(obs_x), jnp.asarray(grid_x),
+                      jnp.asarray(sp), jnp.asarray(mean), reg, 6.0, k)
+            full = letkf_window_analysis_fused(
+                *common, nb=12, obs_block=o, interpret=True)
+            blk = required_obs_block(obs_x, grid_x, 12)
+            blocked = letkf_window_analysis_fused(
+                *common, nb=12, obs_block=blk, interpret=True)
+            np.testing.assert_allclose(np.asarray(blocked),
+                                       np.asarray(full),
+                                       rtol=1e-6, atol=1e-6)

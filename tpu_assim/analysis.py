@@ -107,9 +107,8 @@ def make_letkf_analysis(
             )
         return neighborhood_select(localization, grid_info, obs_info, max_obs)
 
-    @jax.jit
-    def analysis_fn(state_data, obs_vals, obs_var, obs_idx, grid_coords,
-                    obs_coords):
+    def _impl(state_data, obs_vals, obs_var, obs_idx, grid_coords,
+              obs_coords, obs_block):
         if obs_operator is None:
             ens_obs = jnp.take(state_data, obs_idx, axis=-1)  # [k, o]
         else:
@@ -135,6 +134,7 @@ def make_letkf_analysis(
             # gather + Chebyshev solve + apply) — requires sorted 1-D obs
             # coordinates and a single-radius GaspariCohn taper
             # (ops/pallas/letkf.py:letkf_window_analysis_fused).
+            from tpu_assim.ops.localization import GaspariCohnInf
             from tpu_assim.ops.pallas.letkf import (
                 letkf_window_analysis_fused,
             )
@@ -150,6 +150,10 @@ def make_letkf_analysis(
                     "method='fused1d' supports a single localization "
                     "radius; got {0}".format(radius_arr)
                 )
+            taper = (
+                "gcinf" if isinstance(localization, GaspariCohnInf)
+                else "gc2"
+            )
             k = state_data.shape[0]
             reg = jnp.asarray((k - 1) / inf_factor, perts.dtype)
             mean = jnp.mean(state_data, axis=0)
@@ -157,8 +161,8 @@ def make_letkf_analysis(
             return letkf_window_analysis_fused(
                 perts, innov, obs_coords[:, 0], grid_coords[:, 0], sp,
                 mean, reg, float(radius_arr[0]), k,
-                nb=max_obs, degree=cheb_degree,
-                epsilon=float(localization.epsilon),
+                nb=max_obs, degree=cheb_degree, obs_block=obs_block,
+                taper=taper, epsilon=float(localization.epsilon),
             )
 
         if method == "cheb" and localization is not None and (
@@ -257,6 +261,36 @@ def make_letkf_analysis(
                                   precision=jax.lax.Precision.HIGHEST)
         return analysis
 
+    _impl_jit = jax.jit(_impl, static_argnums=(6,))
+
+    def analysis_fn(state_data, obs_vals, obs_var, obs_idx, grid_coords,
+                    obs_coords):
+        # Host-side hardening for the window kernel whenever the coordinates
+        # are concrete (direct calls): validate sortedness and compute the
+        # exact per-tile obs block (required_obs_block — never drops
+        # observations, whatever the clustering). Under an outer jit the
+        # coordinates are tracers; the kernel then uses its auto block and
+        # NaN-poisons any overflowing tile instead of being silently wrong.
+        obs_block = 0
+        if method == "fused1d" and localization is not None and (
+            max_obs is not None
+        ) and not isinstance(
+            obs_coords, jax.core.Tracer
+        ) and not isinstance(grid_coords, jax.core.Tracer):
+            from tpu_assim.ops.pallas.letkf import required_obs_block
+
+            ox = np.asarray(obs_coords)[:, 0]
+            if ox.shape[0] > 1 and np.any(ox[1:] < ox[:-1]):
+                raise ValueError(
+                    "method='fused1d' needs obs coordinates sorted "
+                    "ascending along dimension 0"
+                )
+            obs_block = required_obs_block(
+                ox, np.asarray(grid_coords)[:, 0], max_obs
+            )
+        return _impl_jit(state_data, obs_vals, obs_var, obs_idx,
+                         grid_coords, obs_coords, obs_block)
+
     return analysis_fn
 
 
@@ -264,15 +298,6 @@ def make_etkf_analysis(inf_factor: float = 1.0,
                        obs_operator: Optional[Callable] = None):
     """Build a jitted global-ETKF analysis with the same signature as
     :func:`make_letkf_analysis` (grid/obs coords ignored)."""
-
-    def _select(grid_info, obs_info):
-        if selection == "window":
-            # exact for sorted 1-D obs coordinates (see
-            # neighborhood_select_window); O(g*nb) instead of O(g*o)+top_k
-            return neighborhood_select_window(
-                localization, grid_info, obs_info, max_obs
-            )
-        return neighborhood_select(localization, grid_info, obs_info, max_obs)
 
     @jax.jit
     def analysis_fn(state_data, obs_vals, obs_var, obs_idx, grid_coords,

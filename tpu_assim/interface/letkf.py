@@ -17,6 +17,7 @@ formulation is numerically identical to the reference's ragged masking
 (wrapper.py:86-99).
 """
 
+import logging
 from functools import partial
 from typing import List, Optional
 
@@ -30,6 +31,8 @@ from tpu_assim.ops.etkf import letkf_weights_dense
 from tpu_assim.state import EnsembleState
 
 __all__ = ["LETKF"]
+
+logger = logging.getLogger(__name__)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
@@ -80,9 +83,10 @@ def _letkf_solve(
     return map_grid_chunked(chunk_fn, grid_info, chunksize)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _letkf_fused_analysis(
     localization, chunksize, max_obs, selection, method, cheb_degree,
+    obs_block, taper,
     ens_obs_perts, innovations, grid_info, obs_info, inf_factor, data,
 ):
     """Fused solve+apply: the full [v, t, k, g] analysis WITHOUT
@@ -108,13 +112,16 @@ def _letkf_fused_analysis(
     reg = (k - 1) / jnp.asarray(inf_factor, dtype)
 
     if method == "fused1d":
-        # monolithic window kernel: needs sorted 1-D obs coords and a
-        # single-radius GaspariCohn (checked in LETKF.__init__ / here)
+        # monolithic window kernel: needs sorted 1-D obs coords (sorted by
+        # _estimate_and_apply) and a single-radius Gaspari-Cohn taper
+        import numpy as np
+
+        radius = float(np.atleast_1d(np.asarray(localization.radius))[0])
         out = letkf_window_analysis_fused(
             ens_obs_perts, innovations, obs_info[:, 1], grid_info[:, 1],
-            sp, mean, reg, float(localization.radius[0]), k,
-            nb=max_obs, degree=cheb_degree,
-            epsilon=float(localization.epsilon),
+            sp, mean, reg, radius, k,
+            nb=max_obs, degree=cheb_degree, obs_block=obs_block,
+            taper=taper, epsilon=float(localization.epsilon),
         )
         return out.reshape(v, t, k, g).astype(data.dtype)
 
@@ -176,7 +183,14 @@ class LETKF(DomainLocalizedMixin, ETKF):
         window kernel (selection + taper + gather + solve + apply in one
         pallas_call; needs sorted 1-D obs coords and single-radius
         GaspariCohn).
-    cheb_degree : Chebyshev degree for the fused paths.
+    cheb_degree : Chebyshev degree for the fused paths. None (default) =
+        auto: each ``assimilate()`` call measures a per-column spectral
+        bound on the obs-space operator and picks the smallest degree whose
+        Chebyshev truncation error is below 1e-6
+        (:func:`tpu_assim.ops.pallas.letkf.cheb_degree_for`) — well-observed
+        smoother windows automatically get the higher degree their
+        conditioning needs. An explicit int pins the degree (the benchmark
+        workload is validated at 12).
     """
 
     def __init__(
@@ -193,7 +207,7 @@ class LETKF(DomainLocalizedMixin, ETKF):
         selection: str = "topk",
         method: str = "eigh",
         newton_iters: int = 25,
-        cheb_degree: int = 12,
+        cheb_degree: Optional[int] = None,
     ):
         super().__init__(
             inf_factor=inf_factor,
@@ -227,12 +241,23 @@ class LETKF(DomainLocalizedMixin, ETKF):
         if method == "fused1d":
             import numpy as np
 
+            from tpu_assim.ops.localization import (
+                GaspariCohn,
+                GaspariCohnInf,
+            )
+
+            if not isinstance(localization, (GaspariCohn, GaspariCohnInf)):
+                raise TypeError(
+                    "method='fused1d' needs a GaspariCohn or GaspariCohnInf "
+                    "localization (the taper polynomials are inlined in the "
+                    "kernel); got {0}".format(type(localization))
+                )
             radius = np.atleast_1d(
                 np.asarray(getattr(localization, "radius", None))
             )
             if radius.size != 1 or radius[0] is None:
                 raise ValueError(
-                    "method='fused1d' needs a single-radius GaspariCohn "
+                    "method='fused1d' needs a single-radius Gaspari-Cohn "
                     "localization"
                 )
 
@@ -276,6 +301,46 @@ class LETKF(DomainLocalizedMixin, ETKF):
             jnp.asarray(self.inf_factor, dtype=ens_obs_perts.dtype),
         )
 
+    def _auto_cheb_degree(
+        self, ens_obs_perts, obs_info, grid_info
+    ) -> int:
+        """Chebyshev degree from a measured spectral bound.
+
+        The solve operator per column is ``X = I + Zh Zh^T / reg`` with
+        spectrum in ``[1, 1 + tr(S)/reg]``; ``tr(S) = sum_o w_o ||z_o||^2``
+        with taper weights ``w <= 1``. For sorted-window selection the bound
+        is the maximal ``max_obs``-consecutive-obs sum of ``||z_o||^2``
+        (O(o) cumsum); for generic tapers it is ``max_c sum_o w_co
+        ||z_o||^2`` evaluated chunked. The degree then follows from the
+        Chebyshev convergence rate (:func:`cheb_degree_for`, tol=1e-6).
+        """
+        import numpy as np
+
+        from tpu_assim.ops.pallas.letkf import cheb_degree_for
+
+        k = ens_obs_perts.shape[0]
+        reg = (k - 1) / float(self.inf_factor)
+        znorm = jnp.sum(
+            ens_obs_perts.astype(jnp.float32) ** 2, axis=0
+        )  # [o]
+        n_obs = int(znorm.shape[0])
+        if self.method == "fused1d" or self.selection == "window":
+            zs = znorm[jnp.argsort(obs_info[:, 1])]
+            cs = jnp.concatenate(
+                [jnp.zeros((1,), zs.dtype), jnp.cumsum(zs)]
+            )
+            width = min(self.max_obs, n_obs)
+            tr_max = float(jnp.max(cs[width:] - cs[:-width]))
+        else:
+            tr = map_grid_chunked(
+                lambda gi: self.localization.taper_weights(gi, obs_info)
+                @ znorm.astype(jnp.float64),
+                grid_info,
+                self.chunksize,
+            )
+            tr_max = float(jnp.max(tr))
+        return cheb_degree_for(1.0 + tr_max / reg)
+
     def _estimate_and_apply(
         self,
         state: EnsembleState,
@@ -286,22 +351,79 @@ class LETKF(DomainLocalizedMixin, ETKF):
         solve is shared across every (var, time) slice and the weights are
         never materialized — mathematically identical to estimate_weights +
         _apply_weights (one weight matrix per column applied to all slices,
-        reference base.py:256-278)."""
+        reference base.py:256-278).
+
+        Host-side hardening (inputs are concrete here): stacked obs are
+        sorted by coordinate for the window kernel (smoother-mode obs stacks
+        repeat coordinates per time), the per-tile obs block width is
+        computed exactly (never drops observations), and the Chebyshev
+        degree adapts to the measured conditioning unless pinned.
+
+        The kernels compute in float32; a float64 state is returned as
+        float64 but carries f32 accuracy (~1e-6 relative) — use
+        method='eigh' for the f64 oracle path.
+        """
         if self.method not in ("cheb", "fused1d"):
             return super()._estimate_and_apply(state, filtered_obs, ens_obs)
+        import numpy as np
+
+        from tpu_assim.ops.localization import GaspariCohnInf
+        from tpu_assim.ops.pallas.letkf import required_obs_block
+
         innovations, ens_obs_perts, obs_info = self._get_obs_space_variables(
             ens_obs, filtered_obs
         )
+        grid_info = state.grid_info()
+        if state.dtype == jnp.float64 and not getattr(
+            self, "_warned_f32", False
+        ):
+            logger.warning(
+                "LETKF(method=%r) computes in float32; the float64 analysis "
+                "carries f32 accuracy (~1e-6 relative). Use method='eigh' "
+                "for the f64 oracle path.", self.method,
+            )
+            self._warned_f32 = True
+
+        obs_block = 0
+        taper = "gc2"
+        if self.method == "fused1d":
+            taper = (
+                "gcinf"
+                if isinstance(self.localization, GaspariCohnInf)
+                else "gc2"
+            )
+            obs_x = np.asarray(obs_info[:, 1])
+            if obs_x.shape[0] > 1 and np.any(obs_x[1:] < obs_x[:-1]):
+                # smoother-mode stacks repeat the spatial coordinates per
+                # time; the window kernel needs them globally sorted (the
+                # taper is time-blind, so sorting is exact)
+                order = jnp.asarray(np.argsort(obs_x, kind="stable"))
+                innovations = innovations[order]
+                ens_obs_perts = ens_obs_perts[:, order]
+                obs_info = obs_info[order]
+                obs_x = obs_x[np.asarray(order)]
+            obs_block = required_obs_block(
+                obs_x, np.asarray(grid_info[:, 1]), self.max_obs
+            )
+        degree = self.cheb_degree
+        if degree is None:
+            degree = self._auto_cheb_degree(
+                ens_obs_perts, obs_info, grid_info
+            )
+            logger.debug("auto cheb_degree=%d", degree)
+
         analysis_data = _letkf_fused_analysis(
             self.localization,
             self.chunksize,
             self.max_obs,
             self.selection,
             self.method,
-            self.cheb_degree,
+            degree,
+            obs_block,
+            taper,
             ens_obs_perts,
             innovations,
-            state.grid_info(),
+            grid_info,
             obs_info,
             jnp.asarray(self.inf_factor, dtype=ens_obs_perts.dtype),
             state.data,

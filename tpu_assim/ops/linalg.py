@@ -23,6 +23,7 @@ __all__ = [
     "matrix_product",
     "diagonal_add",
     "eigh_psd",
+    "inv_and_inv_sqrt_psd_eigh",
     "inv_sqrt_psd_newton",
     "sqrt_and_inv_sqrt_psd_newton",
     "inv_spd_newton",

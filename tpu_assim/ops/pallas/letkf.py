@@ -40,7 +40,63 @@ __all__ = [
     "letkf_nbh_analysis_fused",
     "letkf_nbh_analysis_cheb",
     "letkf_window_analysis_fused",
+    "cheb_degree_for",
+    "required_obs_block",
 ]
+
+
+def cheb_degree_for(lam_max: float, tol: float = 1e-6,
+                    lo: int = 6, hi: int = 96) -> int:
+    """Chebyshev degree reaching truncation error ``tol`` for the solve
+    functions ``1/x`` and ``1/(sqrt(x)(1+sqrt(x)))`` on ``[1, lam_max]``.
+
+    Both functions are analytic on the interval with the nearest singularity
+    at ``x = 0``, so their Chebyshev coefficients decay like ``rho^-m`` with
+    ``rho = (sqrt(lam) + 1)/(sqrt(lam) - 1)`` (the Bernstein-ellipse
+    parameter through 0). The degree is the smallest ``d`` with
+    ``rho^-d <= tol`` — a slightly conservative bound (the measured
+    end-to-end error is ~10-30x below it, tests/test_letkf_fused_interface).
+    """
+    import math
+
+    lam = max(float(lam_max), 1.0 + 1e-6)
+    rho = (math.sqrt(lam) + 1.0) / (math.sqrt(lam) - 1.0)
+    d = int(math.ceil(math.log(1.0 / tol) / math.log(rho)))
+    return max(lo, min(hi, d))
+
+
+def required_obs_block(obs_x, grid_x, nb: int, tile: int = 128) -> int:
+    """Exact per-tile obs block width for
+    :func:`letkf_window_analysis_fused` (host-side, numpy).
+
+    Replicates the kernel's blocking math: tile t spans grid columns
+    ``[t*tile, (t+1)*tile)``; its block starts at
+    ``offs = clip(rank(tile_min) - nb, 0, o-1)`` and must reach the window
+    end of the tile's highest-rank column,
+    ``clip(rank_right(tile_max) - nb//2, 0, o-nb) + nb``. Returns the
+    sublane-aligned maximum width over tiles — the smallest block for which
+    the blocked kernel is *exact* (bit-identical windows to the full-table
+    kernel), whatever the obs clustering.
+    """
+    import numpy as np
+
+    obs_x = np.asarray(obs_x)
+    grid_x = np.asarray(grid_x)
+    o = obs_x.shape[0]
+    g = grid_x.shape[0]
+    n_tiles = -(-g // tile)
+    pad = n_tiles * tile - g
+    if pad:
+        grid_x = np.concatenate([grid_x, np.full(pad, grid_x[-1])])
+    tiles = grid_x.reshape(n_tiles, tile)
+    tmin = tiles.min(axis=1)
+    tmax = tiles.max(axis=1)
+    offs = np.clip(np.searchsorted(obs_x, tmin) - nb, 0, max(o - 1, 0))
+    rank_hi = np.searchsorted(obs_x, tmax, side="right")
+    end_needed = np.clip(rank_hi - nb // 2, 0, max(o - nb, 0)) + nb
+    width = int(np.max(end_needed - offs)) if n_tiles else 2 * nb
+    width = max(width, 2 * nb)
+    return min(o, -(-width // 8) * 8)
 
 
 
@@ -462,9 +518,32 @@ def letkf_nbh_analysis_cheb(
 # tile in/out and the (small) obs arrays once per tile.
 
 
+def _taper_poly(z, taper: str, epsilon: float):
+    """Gaspari-Cohn taper on normalized distances ``z = |dx| / radius``,
+    branch-free, sub-epsilon cut to exact zero. The piecewise polynomials are
+    the class statics of :mod:`tpu_assim.ops.localization` (single source of
+    truth; reference: pytassim/localization/gaspari_cohn.py:77-95 for
+    GC(z,1/2,c), :175-214 for GC(z,inf,c))."""
+    from tpu_assim.ops.localization import GaspariCohn, GaspariCohnInf
+
+    if taper == "gc2":
+        z_safe = jnp.maximum(z, 0.5)  # keeps the 1/z term finite off-branch
+        w = jnp.where(z < 2.0, GaspariCohn._f2(z_safe), 0.0)
+        w = jnp.where(z < 1.0, GaspariCohn._f1(z), w)
+    elif taper == "gcinf":
+        z_safe = jnp.maximum(z, 0.25)
+        w = jnp.where(z < 2.0, GaspariCohnInf._f4(z_safe), 0.0)
+        w = jnp.where(z < 1.5, GaspariCohnInf._f3(z_safe), w)
+        w = jnp.where(z < 1.0, GaspariCohnInf._f2(z_safe), w)
+        w = jnp.where(z < 0.5, GaspariCohnInf._f1(z), w)
+    else:
+        raise ValueError(f"unknown taper {taper!r}; use 'gc2' or 'gcinf'")
+    return jnp.where(w > epsilon, w, 0.0)
+
+
 def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
                          gridx_ref, sp_ref, mean_ref, out_ref,
-                         *, ens_size, degree, nb, epsilon):
+                         *, ens_size, degree, nb, epsilon, taper):
     f32 = jnp.float32
     reg = scal_ref[0]
     radius = scal_ref[1]
@@ -503,17 +582,9 @@ def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
         perts, onehot, (((1,), (0,)), ((), ())),
         preferred_element_type=f32, precision=hp,
     ).reshape(ens_size, nb, t_cols)                             # [k, nb, T]
-    # Gaspari-Cohn GC(z, 1/2, c) on all slots (gaspari_cohn.py:77-95)
+    # Gaspari-Cohn taper on all slots (gc2 or gcinf, see _taper_poly)
     z = jnp.abs(ox - grid_x) / radius                           # [nb, T]
-    z_safe = jnp.maximum(z, 0.5)
-    f2v = (z_safe ** 5 / 12.0 - 0.5 * z_safe ** 4
-           + 0.625 * z_safe ** 3 + 5.0 / 3.0 * z_safe ** 2
-           - 5.0 * z_safe + 4.0 - 2.0 / 3.0 / z_safe)
-    f1v = (-0.25 * z ** 5 + 0.5 * z ** 4 + 0.625 * z ** 3
-           - 5.0 / 3.0 * z ** 2 + 1.0)
-    w = jnp.where(z < 2.0, f2v, 0.0)
-    w = jnp.where(z < 1.0, f1v, w)
-    w = jnp.where(w > epsilon, w, 0.0)
+    w = _taper_poly(z, taper, epsilon)
     sw = jnp.sqrt(w)                                            # [nb, T]
     zh = jnp.swapaxes(zz, 0, 1) * sw[:, None, :]                # [nb, k, T]
     yh = yv * sw                                                # [nb, T]
@@ -528,7 +599,7 @@ def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("ens_size", "nb", "degree", "tile", "interpret",
-                     "epsilon", "obs_block"),
+                     "epsilon", "obs_block", "taper"),
 )
 def letkf_window_analysis_fused(
     perts: jnp.ndarray,
@@ -545,6 +616,7 @@ def letkf_window_analysis_fused(
     tile: int = 128,
     epsilon: float = 1e-5,
     obs_block: int = 0,
+    taper: str = "gc2",
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """The complete 1-D-window LETKF analysis as ONE Pallas kernel.
@@ -567,7 +639,13 @@ def letkf_window_analysis_fused(
         it fits VMEM, otherwise ``2 x`` the mean obs count per tile span
         plus ``2 nb`` margin. Each grid tile sees only its contiguous slice
         of the sorted obs — exact as long as no tile's coordinate span
-        contains more than ``obs_block - 2 nb`` observations.
+        contains more than ``obs_block - 2 nb`` observations. Overflowing
+        tiles and unsorted ``obs_x`` are NaN-poisoned (loud, never silently
+        wrong); concrete-input callers should pass
+        ``obs_block=required_obs_block(obs_x, grid_x, nb, tile)`` which is
+        exact for any obs clustering.
+    taper : ``"gc2"`` (Gaspari-Cohn GC(z,1/2,c), the default) or
+        ``"gcinf"`` (GC(z,inf,c)) — see :func:`_taper_poly`.
 
     Returns analysis [k, g] (or [ns, k, g]).
     """
@@ -588,10 +666,16 @@ def letkf_window_analysis_fused(
         mean = jnp.pad(mean, ((0, 0), (0, pad)))
     scal = jnp.stack([reg.astype(f32),
                       jnp.asarray(radius, f32)]).reshape(2,)
+    # Exactness guard (traced-safe): unsorted obs coordinates would silently
+    # select wrong windows — poison the whole output with NaN instead.
+    # Concrete-input callers validate host-side (see required_obs_block).
+    if o > 1:
+        sorted_ok = jnp.all(obs_x[1:] >= obs_x[:-1])
+        mean = mean + jnp.where(sorted_ok, 0.0, jnp.nan).astype(mean.dtype)
     nodes, dct = _cheb_nodes_dct(degree)
     kernel = functools.partial(
         _letkf_window_kernel, ens_size=ens_size, degree=degree, nb=nb,
-        epsilon=epsilon,
+        epsilon=epsilon, taper=taper,
     )
     dp1 = degree + 1
 
@@ -627,6 +711,19 @@ def letkf_window_analysis_fused(
             jnp.searchsorted(obs_x, tile_min, method="sort") - nb,
             0, max(o - 1, 0),
         ).astype(jnp.int32)
+        # Exactness guard: a tile whose coordinate span holds more than
+        # ``obs_block - 2 nb`` observations cannot fit its columns' windows
+        # in the block — NaN-poison those tiles (loud) instead of silently
+        # dropping observations. ``required_obs_block`` computes the exact
+        # width host-side for concrete callers.
+        tile_max = grid_x.reshape(n_tiles, tile).max(axis=1)
+        rank_hi = jnp.searchsorted(obs_x, tile_max, side="right",
+                                   method="sort")
+        end_needed = jnp.clip(rank_hi - nb // 2, 0, max(o - nb, 0)) + nb
+        bad_tile = (end_needed - offs) > o_b                 # [n_tiles]
+        mean = mean + jnp.where(
+            jnp.repeat(bad_tile, tile), jnp.nan, 0.0
+        ).astype(mean.dtype)[None, :]
         idx = offs[:, None] + jnp.arange(o_b, dtype=jnp.int32)[None, :]
         in_range = idx < o
         idx_c = jnp.minimum(idx, o - 1)
