@@ -86,6 +86,50 @@ def numpy_reference_letkf(state, obs_vals, obs_var, obs_idx, grid_coords,
     return analysis, n_points
 
 
+def fused1d_flop_estimate(k, g, o, nb, degree, tile=128, obs_block=None,
+                          ns=1):
+    """Documented FLOP model of the monolithic window kernel (2 flops per
+    MAC; comparisons counted as 1): rank compare, one-hot build, the
+    [k+2, o_b] x [o_b, nb*T] selection matmul, taper polynomial, Gram,
+    per-column Chebyshev coefficients, joint Clenshaw recurrence, and the
+    final weight application. Used for the roofline fields bench emits —
+    an estimate of *useful plus selection* work, not a lower bound."""
+    n_tiles = -(-g // tile)
+    t = tile
+    if obs_block is None:
+        obs_block = min(o, 2 * ((o * tile) // max(g, 1)) + 2 * nb)
+        obs_block = -(-max(obs_block, 2 * nb) // 8) * 8
+    o_b = min(obs_block, o)
+    d = degree
+    per_tile = (
+        2 * o_b * t                          # rank compare + sublane sum
+        + o_b * nb * t                       # one-hot build
+        + 2 * (k + 2) * o_b * nb * t         # selection matmul (MXU)
+        + 30 * nb * t                        # Gaspari-Cohn polynomials
+        + 3 * nb * (k + 1) * t               # sqrt-weight scaling
+        + 2 * nb * nb * k * t                # Gram S = Zh Zh^T
+        + 4 * (d + 1) * (d + 1) * t          # Chebyshev coefficients (DCT)
+        + d * (1 + ns) * (2 * nb * nb + 8 * nb) * t   # joint Clenshaw
+        + 4 * ns * nb * k * t                # u = Zh sp, Zh^T v
+        + 6 * ns * k * t                     # final combination
+    )
+    return per_tile * n_tiles
+
+
+def fused1d_bytes_estimate(k, g, o, nb, degree, tile=128, obs_block=None,
+                           ns=1, bytes_per=4):
+    """HBM traffic of the kernel: packed obs table + state tile in, analysed
+    tile out, once per tile."""
+    n_tiles = -(-g // tile)
+    if obs_block is None:
+        obs_block = min(o, 2 * ((o * tile) // max(g, 1)) + 2 * nb)
+        obs_block = -(-max(obs_block, 2 * nb) // 8) * 8
+    o_b = min(obs_block, o)
+    rows_pad = -(-(k + 2) // 8) * 8
+    per_tile = (rows_pad * o_b + 2 * ns * k * tile + 2 * ns * tile + tile)
+    return per_tile * n_tiles * bytes_per
+
+
 def _chain_time(step, args, reps=20, trials=3):
     """Steady-state per-step seconds for ``step(acc, *args)``: data-dependent
     chaining on device, one scalar D2H per trial (excludes host dispatch /
@@ -221,10 +265,23 @@ def run_all_configs():
     w5 = tuple(jnp.asarray(a) for a in build_workload(100, g5, o5))
     # the monolithic kernel's VMEM footprint is independent of the grid
     # size (no [g, nb, k] gather buffers), so no chunking is needed even
-    # at 2^20 columns
+    # at 2^20 columns.
+    # Nontrivial batched obs operator at the 1M scale: each observation is
+    # a 4-column local mean around its location (H beyond pure indexing,
+    # applied to all 2^16 obs inside the jitted analysis — the reference
+    # operator contract, pytassim/obs_ops/base_ops.py:42).
+    import numpy as _np5
+
+    idx5 = _np5.asarray(w5[3])
+    stencil5 = jnp.asarray(_np5.stack(
+        [(idx5 + s) % g5 for s in range(4)], axis=1).astype(_np5.int32))
+
+    def h5(state_data):
+        return jnp.mean(jnp.take(state_data, stencil5, axis=-1), axis=-1)
+
     letkf5 = make_letkf_analysis(
         GaspariCohn((20.0,), dist_fn), inf_factor=1.1, method="fused1d",
-        max_obs=16,
+        max_obs=16, obs_operator=h5,
     )
 
     # -- bonus: full cycled-DA throughput (forecast + fused analysis) ------
@@ -258,8 +315,8 @@ def run_all_configs():
     t5 = _chain_time(step5, w5, reps=4, trials=2)
     emit({"metric": "letkf_large_grid_points_per_s",
           "value": round(g5 / t5, 1),
-          "unit": "grid-points/s (ens=100, grid=2^20, obs=2^16,"
-                  " GC r=20, per-tile obs blocks)"})
+          "unit": "grid-points/s (ens=100, grid=2^20, obs=2^16, GC r=20,"
+                  " per-tile obs blocks, 4-pt-mean batched obs operator)"})
 
 
 def main():
@@ -330,6 +387,15 @@ def main():
     base_time_per_point = (time.perf_counter() - t0) / n_done
     base_gps = 1.0 / base_time_per_point
 
+    # Roofline honesty: a documented FLOP/byte model of the kernel next to
+    # the measured time, so "fast" is stated against the hardware, not just
+    # against a Python loop. The model counts selection work too (the
+    # one-hot gather IS MXU work this design chooses to do).
+    flops = fused1d_flop_estimate(ens_size, len_grid, nr_obs, nb=16,
+                                  degree=12)
+    bbytes = fused1d_bytes_estimate(ens_size, len_grid, nr_obs, nb=16,
+                                    degree=12)
+    device_kind = jax.devices()[0].device_kind
     print(
         json.dumps(
             {
@@ -337,6 +403,12 @@ def main():
                 "value": round(tpu_gps, 1),
                 "unit": "grid-points/s (ens=40, grid=10000, obs=1000, GC r=20)",
                 "vs_baseline": round(tpu_gps / base_gps, 2),
+                "device_time_ms": round(tpu_time * 1e3, 3),
+                "est_gflop_per_analysis": round(flops / 1e9, 3),
+                "est_tflops": round(flops / tpu_time / 1e12, 3),
+                "est_hbm_gb": round(bbytes / 1e9, 4),
+                "est_hbm_gb_s": round(bbytes / tpu_time / 1e9, 2),
+                "device_kind": device_kind,
             }
         )
     )

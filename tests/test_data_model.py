@@ -170,3 +170,138 @@ class TestObservationContract:
         assert info.shape == (6, 2)
         np.testing.assert_allclose(info[:, 0], [100] * 3 + [200] * 3)
         np.testing.assert_allclose(info[:, 1], [10, 20, 30, 10, 20, 30])
+
+
+class TestValidationContract:
+    """Accessor-validity corners mirroring the reference's exhaustive
+    obs-subset checks (/root/reference/tests/unit_tests/test_obs_subset.py:
+    57-341) on this data model."""
+
+    def _state(self, rng, n_var=1, n_time=2, n_ens=5, n_grid=8):
+        return EnsembleState(
+            jnp.asarray(rng.randn(n_var, n_time, n_ens, n_grid)),
+            times=jnp.arange(n_time, dtype=jnp.float64),
+        )
+
+    def test_assimilate_rejects_non_state(self, rng):
+        from tpu_assim import ETKF
+
+        obs = Observation(jnp.zeros((1, 4)), jnp.ones(4))
+        with pytest.raises(TypeError):
+            ETKF().assimilate("not a state", obs)
+
+    def test_assimilate_rejects_invalid_state(self, rng):
+        from tpu_assim import ETKF
+        from tpu_assim.state import StateError
+
+        st = self._state(rng)
+        st.times = jnp.arange(5, dtype=jnp.float64)  # wrong length
+        obs = Observation(jnp.zeros((2, 4)), jnp.ones(4))
+        with pytest.raises(StateError):
+            ETKF().assimilate(st, obs)
+
+    def test_assimilate_rejects_invalid_obs(self, rng):
+        from tpu_assim import ETKF
+        from tpu_assim.observation import ObservationError
+
+        st = self._state(rng)
+        obs = Observation(jnp.zeros((2, 4)), jnp.ones(4))
+        obs.covariance = jnp.ones(7)  # wrong obs length
+        with pytest.raises(ObservationError):
+            ETKF().assimilate(st, obs)
+
+    def test_valid_checks_time_dependent_diag_shape(self, rng):
+        obs = Observation(jnp.zeros((2, 4)), jnp.ones((2, 4)))
+        assert obs.valid
+        obs.covariance = jnp.ones((3, 4))  # wrong time length
+        assert not obs.valid
+
+    def test_valid_checks_time_dependent_corr_shape(self, rng):
+        obs = Observation(jnp.zeros((2, 4)), jnp.broadcast_to(
+            jnp.eye(4), (2, 4, 4)))
+        assert obs.correlated and obs.valid
+        obs.covariance = jnp.broadcast_to(jnp.eye(4), (3, 4, 4))
+        assert not obs.valid
+
+    def test_valid_checks_coords_and_times(self, rng):
+        obs = Observation(jnp.zeros((2, 4)), jnp.ones(4))
+        obs.obs_coords = jnp.zeros((5, 1))
+        assert not obs.valid
+        obs = Observation(jnp.zeros((2, 4)), jnp.ones(4))
+        obs.times = jnp.zeros(3)
+        assert not obs.valid
+
+    def test_explicit_correlated_flag_on_square(self, rng):
+        """The ambiguous [time, obs] == [obs, obs] square defaults to
+        uncorrelated; correlated=True selects the Cholesky route."""
+        n = 4
+        a = rng.randn(n, n) * 0.1
+        cov = a @ a.T + np.eye(n)
+        obs_u = Observation(jnp.zeros((n, n)), jnp.asarray(cov))
+        obs_c = Observation(jnp.zeros((n, n)), jnp.asarray(cov),
+                            correlated=True)
+        assert not obs_u.correlated and obs_c.correlated
+        v = jnp.asarray(rng.randn(n, n))
+        out_u = obs_u.mul_rcinv(v)
+        out_c = obs_c.mul_rcinv(v)
+        np.testing.assert_allclose(np.asarray(out_u),
+                                   np.asarray(v) / np.sqrt(cov), atol=1e-12)
+        chol = np.linalg.cholesky(cov)
+        np.testing.assert_allclose(
+            np.asarray(out_c),
+            np.linalg.solve(chol, np.asarray(v).T).T, atol=1e-10)
+
+    def test_rcinv_ens_perts_layout(self, rng):
+        """mul_rcinv broadcasts over leading (ensemble) dims with obs last
+        — the [ens, time, obs] perturbation layout the interface feeds it
+        (reference obs-last contract, observation.py:241-271)."""
+        t, o, k = 2, 5, 3
+        var = rng.uniform(0.5, 2.0, size=(t, o))
+        obs = Observation(jnp.zeros((t, o)), jnp.asarray(var))
+        perts = jnp.asarray(rng.randn(k, t, o))
+        out = obs.mul_rcinv(perts)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(perts) / np.sqrt(var), atol=1e-12)
+
+    def test_sel_time_tolerant_match(self, rng):
+        """Times differing only by float rounding still pair up (the
+        analysis time is chosen by nearest state time)."""
+        times = np.array([0.0, 3600.0, 7200.0])
+        obs = Observation(jnp.zeros((3, 4)), jnp.ones(4),
+                          times=jnp.asarray(times))
+        picked = obs.sel_time(3600.0 * (1 + 1e-15))
+        assert float(picked.times[0]) == 3600.0
+        with pytest.raises(KeyError):
+            obs.sel_time(1800.0)
+
+    def test_operatorless_obs_dropped(self, rng):
+        """Observations without an operator are silently skipped, matching
+        the reference's NotImplementedError catch (base.py:180-220)."""
+        from tpu_assim import ETKF
+        from tpu_assim.testing import dummy_obs_operator
+
+        st = self._state(rng, n_grid=8)
+
+        def broken_operator(obs, pseudo_state):
+            raise NotImplementedError
+
+        good = Observation(
+            jnp.asarray(rng.randn(2, 8)), jnp.ones(8),
+            obs_coords=st.grid_coords, times=st.times,
+            operator=dummy_obs_operator())
+        no_op = Observation(jnp.zeros((2, 8)), jnp.ones(8),
+                            obs_coords=st.grid_coords, times=st.times)
+        broken = no_op.replace(operator=broken_operator)
+        etkf = ETKF(inf_factor=1.1)
+        only_good = etkf.assimilate(st, [good])
+        with_others = etkf.assimilate(st, [good, no_op, broken])
+        np.testing.assert_allclose(np.asarray(with_others.data),
+                                   np.asarray(only_good.data), atol=1e-12)
+
+    def test_grid_coords_1d_promoted(self, rng):
+        st = EnsembleState(jnp.asarray(rng.randn(1, 1, 4, 6)),
+                           grid_coords=jnp.arange(6.0))
+        assert st.grid_coords.shape == (6, 1)
+        obs = Observation(jnp.zeros((1, 6)), jnp.ones(6),
+                          obs_coords=jnp.arange(6.0))
+        assert obs.obs_coords.shape == (6, 1)

@@ -291,3 +291,208 @@ class TestExactnessGuards:
             np.testing.assert_allclose(np.asarray(blocked),
                                        np.asarray(full),
                                        rtol=1e-6, atol=1e-6)
+
+
+class TestCorrelatedRFastPaths:
+    """Correlated R through the functional entry points: every solver
+    method consumes the Cholesky-whitened obs space (the reference's uniform
+    mul_rcinv contract, observation.py:247-271, now on the fast paths)."""
+
+    def _workload(self, rng, ens=8, g=64, o=20):
+        state = rng.normal(size=(ens, g))
+        obs_idx = np.sort(rng.choice(g, size=o, replace=False))
+        obs_vals = rng.normal(size=o)
+        a = rng.randn(o, o) * 0.1
+        cov = a @ a.T + np.eye(o)
+        grid_coords = np.arange(g, dtype=np.float64)[:, None]
+        obs_coords = grid_coords[obs_idx]
+        return (state, obs_vals, cov, obs_idx.astype("i4"), grid_coords,
+                obs_coords)
+
+    @pytest.mark.parametrize("method", ["eigh", "newton", "cheb", "fused1d"])
+    def test_correlated_equals_prewhitened(self, rng, method):
+        """Passing the full R equals hand-whitening obs space with unit
+        variances... checked against the eigh path on the whitened problem
+        via a diagonal-R run of the same method with pre-whitened inputs is
+        impossible through this API (whitening mixes the operator), so the
+        oracle is the eigh method with the same full R."""
+        from tpu_assim.analysis import make_letkf_analysis
+
+        w = self._workload(rng)
+        args = tuple(jnp.asarray(a) for a in w)
+        loc = GaspariCohn((6.0,), coord_dist)
+        exact = make_letkf_analysis(loc, 1.1, method="eigh")(*args)
+        out = make_letkf_analysis(loc, 1.1, method=method, max_obs=20,
+                                  cheb_degree=24, newton_iters=40)(*args)
+        rel = float(np.abs(np.asarray(out) - np.asarray(exact)).max()
+                    / np.abs(np.asarray(exact)).max())
+        tol = 1e-9 if method in ("eigh", "newton") else 2e-4
+        assert rel < tol, (method, rel)
+
+    def test_correlated_changes_analysis(self, rng):
+        """The off-diagonal correlations actually matter (guard against the
+        whitening silently degenerating to the diagonal)."""
+        from tpu_assim.analysis import make_letkf_analysis
+
+        state, obs_vals, cov, obs_idx, gc_, oc_ = self._workload(rng)
+        loc = GaspariCohn((6.0,), coord_dist)
+        fn = make_letkf_analysis(loc, 1.1, method="eigh")
+        full = fn(*map(jnp.asarray, (state, obs_vals, cov, obs_idx, gc_,
+                                     oc_)))
+        diag = fn(*map(jnp.asarray, (state, obs_vals, np.diag(cov), obs_idx,
+                                     gc_, oc_)))
+        assert not np.allclose(np.asarray(full), np.asarray(diag),
+                               atol=1e-6)
+
+
+class TestMonolithic2DKernel:
+    """The 2-D window kernel (y-band blocks + x-windows + per-dimension
+    product taper) vs the exact eigh analysis on a 2-D domain (reference
+    per-dimension radii behavior: pytassim/localization/gaspari_cohn.py:
+    124-134)."""
+
+    def _workload_2d(self, rng, nr=24, nc=24, o=80, ens=8):
+        g = nr * nc
+        yy, xx = np.meshgrid(np.arange(nr, dtype="f8"),
+                             np.arange(nc, dtype="f8"), indexing="ij")
+        grid_xy = np.stack([xx.ravel(), yy.ravel()], 1)   # row-major
+        state = rng.normal(size=(ens, g))
+        obs_pos = rng.choice(g, size=o, replace=False)
+        obs_xy = grid_xy[obs_pos] + rng.uniform(-0.4, 0.4, size=(o, 2))
+        obs_vals = rng.normal(size=o)
+        obs_var = rng.uniform(0.5, 1.5, size=o)
+        return (state, obs_vals, obs_var, obs_pos.astype("i4"), grid_xy,
+                obs_xy)
+
+    @pytest.mark.parametrize("radii", [(4.0, 4.0), (5.0, 3.0)])
+    def test_matches_eigh_2d(self, rng, radii):
+        from tpu_assim.analysis import make_letkf_analysis
+        from tpu_assim.ops.pallas.letkf import (
+            letkf_window_analysis_fused_2d, required_obs_block_2d)
+
+        rx, ry = radii
+        w = self._workload_2d(rng)
+        state, obs_vals, obs_var, obs_idx, grid_xy, obs_xy = w
+
+        def dist2(gc, oi):
+            return jnp.stack([jnp.abs(oi[:, 1] - gc[1]),
+                              jnp.abs(oi[:, 2] - gc[2])], 0)
+
+        loc = GaspariCohn((rx, ry), dist2)
+        args = tuple(jnp.asarray(a) for a in w)
+        exact = make_letkf_analysis(loc, 1.1, method="eigh")(*args)
+
+        k = state.shape[0]
+        ens_obs = state[:, obs_idx]
+        rcinv = 1.0 / np.sqrt(obs_var)
+        mo = ens_obs.mean(0)
+        perts = (ens_obs - mo) * rcinv
+        innov = (obs_vals - mo) * rcinv
+        mean_s = state.mean(0)
+        sp = state - mean_s
+        blk = required_obs_block_2d(obs_xy[:, 1], grid_xy[:, 1], ry)
+        out = letkf_window_analysis_fused_2d(
+            jnp.asarray(perts), jnp.asarray(innov), jnp.asarray(obs_xy),
+            jnp.asarray(grid_xy), jnp.asarray(sp), jnp.asarray(mean_s),
+            jnp.asarray((k - 1) / 1.1, jnp.float32), rx, ry, k,
+            obs_block=blk, nb=64, degree=24, interpret=True,
+        )
+        rel = float(np.abs(np.asarray(out) - np.asarray(exact)).max()
+                    / np.abs(np.asarray(exact)).max())
+        assert np.isfinite(np.asarray(out)).all()
+        assert rel < 2e-4, rel
+
+    def test_band_overflow_poisons(self, rng):
+        from tpu_assim.ops.pallas.letkf import letkf_window_analysis_fused_2d
+
+        w = self._workload_2d(rng, o=80)
+        state, obs_vals, obs_var, obs_idx, grid_xy, obs_xy = w
+        k = state.shape[0]
+        ens_obs = state[:, obs_idx]
+        mo = ens_obs.mean(0)
+        out = letkf_window_analysis_fused_2d(
+            jnp.asarray(ens_obs - mo), jnp.asarray(obs_vals - mo),
+            jnp.asarray(obs_xy), jnp.asarray(grid_xy),
+            jnp.asarray(state - state.mean(0)), jnp.asarray(state.mean(0)),
+            jnp.asarray((k - 1) / 1.1, jnp.float32), 4.0, 4.0, k,
+            obs_block=8, nb=8, interpret=True,  # far too small
+        )
+        assert np.isnan(np.asarray(out)).any()
+
+    def test_obs_block_required(self, rng):
+        from tpu_assim.ops.pallas.letkf import letkf_window_analysis_fused_2d
+
+        with pytest.raises(ValueError, match="obs_block"):
+            letkf_window_analysis_fused_2d(
+                jnp.zeros((4, 8)), jnp.zeros(8), jnp.zeros((8, 2)),
+                jnp.zeros((16, 2)), jnp.zeros((4, 16)), jnp.zeros(16),
+                jnp.asarray(3.0, jnp.float32), 4.0, 4.0, 4, obs_block=0,
+            )
+
+
+class TestFused2DClassAPI:
+    """LETKF(method='fused2d') through assimilate() on a 2-D domain equals
+    method='eigh' — the class-API route to the 2-D monolithic kernel."""
+
+    def test_fused2d_assimilate(self, rng):
+        nr, nc, n_ens, n_obs = 16, 16, 8, 48
+        g = nr * nc
+        yy, xx = np.meshgrid(np.arange(nr, dtype="f8"),
+                             np.arange(nc, dtype="f8"), indexing="ij")
+        grid_xy = np.stack([xx.ravel(), yy.ravel()], 1)
+        data = rng.randn(1, 1, n_ens, g)
+        state = EnsembleState(jnp.asarray(data),
+                              times=jnp.asarray([0.0]),
+                              grid_coords=jnp.asarray(grid_xy))
+        obs_idx = np.sort(rng.choice(g, size=n_obs, replace=False))
+        truth = np.asarray(state.data[0].mean(axis=1))[:, obs_idx]
+        obs_vals = truth + rng.normal(scale=0.5, size=truth.shape)
+
+        def operator(obs, pseudo_state):
+            return pseudo_state.data[0][:, :, obs_idx]
+
+        obs = Observation(jnp.asarray(obs_vals),
+                          covariance=jnp.full((n_obs,), 0.5),
+                          obs_coords=jnp.asarray(grid_xy[obs_idx]),
+                          times=state.times, operator=operator)
+
+        def dist2(gc, oi):
+            return jnp.stack([jnp.abs(oi[:, 1] - gc[1]),
+                              jnp.abs(oi[:, 2] - gc[2])], 0)
+
+        loc = GaspariCohn((4.0, 3.0), dist2)
+        exact = LETKF(localization=loc, inf_factor=1.1, max_obs=48,
+                      method="eigh", chunksize=None).assimilate(state, obs)
+        fused = LETKF(localization=loc, inf_factor=1.1, max_obs=48,
+                      method="fused2d",
+                      chunksize=None).assimilate(state, obs)
+        assert_close_f32(fused, exact)
+
+    def test_fused2d_functional(self, rng):
+        from tpu_assim.analysis import make_letkf_analysis
+
+        nr = nc = 20
+        g = nr * nc
+        yy, xx = np.meshgrid(np.arange(nr, dtype="f8"),
+                             np.arange(nc, dtype="f8"), indexing="ij")
+        grid_xy = np.stack([xx.ravel(), yy.ravel()], 1)
+        state = rng.normal(size=(8, g))
+        obs_idx = rng.choice(g, size=60, replace=False)
+        obs_vals = rng.normal(size=60)
+        obs_var = np.ones(60)
+        obs_xy = grid_xy[obs_idx]
+
+        def dist2(gc, oi):
+            return jnp.stack([jnp.abs(oi[:, 1] - gc[1]),
+                              jnp.abs(oi[:, 2] - gc[2])], 0)
+
+        loc = GaspariCohn((4.0,), dist2)
+        args = tuple(jnp.asarray(a) for a in (
+            state, obs_vals, obs_var, obs_idx.astype("i4"), grid_xy,
+            obs_xy))
+        exact = make_letkf_analysis(loc, 1.1, method="eigh")(*args)
+        fused = make_letkf_analysis(loc, 1.1, method="fused2d", max_obs=60,
+                                    cheb_degree=32)(*args)
+        rel = float(np.abs(np.asarray(fused) - np.asarray(exact)).max()
+                    / np.abs(np.asarray(exact)).max())
+        assert rel < 2e-4, rel

@@ -32,14 +32,26 @@ __all__ = ["make_letkf_analysis", "make_etkf_analysis", "make_cycle_step"]
 
 
 def _normalized_obs_space(ens_obs, obs_vals, obs_var):
-    """R^{-1/2} normalization of innovations and obs-space perturbations for
-    a diagonal covariance (reference: observation.py:241-245,
-    interface/base.py:359-379).
+    """R^{-1/2} normalization of innovations and obs-space perturbations.
 
-    ens_obs [k, o], obs_vals [o], obs_var [o] -> (perts [k, o], innov [o]).
+    ens_obs [k, o], obs_vals [o], obs_var [o] (diagonal) or [o, o] (full
+    correlated covariance) -> (perts [k, o], innov [o]).
+
+    The correlated case whitens by the Cholesky factor (triangular solve,
+    never an explicit inverse) — the reference's uniform ``mul_rcinv``
+    contract (observation.py:241-271) extended to the fast entry points, so
+    every solver method (incl. the Pallas kernels, which consume the
+    pre-whitened obs space) accepts a correlated R.
     """
-    rcinv = 1.0 / jnp.sqrt(obs_var)
     mean = jnp.mean(ens_obs, axis=0, keepdims=True)
+    if obs_var.ndim == 2:
+        from jax.scipy.linalg import solve_triangular
+
+        chol = jnp.linalg.cholesky(obs_var)
+        perts = solve_triangular(chol, (ens_obs - mean).T, lower=True).T
+        innov = solve_triangular(chol, obs_vals - mean[0], lower=True)
+        return perts, innov
+    rcinv = 1.0 / jnp.sqrt(obs_var)
     perts = (ens_obs - mean) * rcinv
     innov = (obs_vals - mean[0]) * rcinv
     return perts, innov
@@ -165,6 +177,36 @@ def make_letkf_analysis(
                 taper=taper, epsilon=float(localization.epsilon),
             )
 
+        if method == "fused2d" and localization is not None and (
+            max_obs is not None
+        ):
+            # The complete 2-D analysis as ONE Pallas kernel: per-tile
+            # y-band obs blocks, in-block x-windows, per-dimension product
+            # taper (ops/pallas/letkf.py:letkf_window_analysis_fused_2d).
+            from tpu_assim.ops.localization import GaspariCohnInf
+            from tpu_assim.ops.pallas.letkf import (
+                letkf_window_analysis_fused_2d,
+            )
+
+            radii = np.atleast_1d(np.asarray(localization.radius,
+                                             dtype=float))
+            rx = float(radii[0])
+            ry = float(radii[1] if radii.size > 1 else radii[0])
+            taper = (
+                "gcinf" if isinstance(localization, GaspariCohnInf)
+                else "gc2"
+            )
+            k = state_data.shape[0]
+            reg = jnp.asarray((k - 1) / inf_factor, perts.dtype)
+            mean = jnp.mean(state_data, axis=0)
+            sp = state_data - mean[None, :]
+            return letkf_window_analysis_fused_2d(
+                perts, innov, obs_coords[:, :2], grid_coords[:, :2], sp,
+                mean, reg, rx, ry, k, obs_block=obs_block,
+                nb=max_obs, degree=cheb_degree, taper=taper,
+                epsilon=float(localization.epsilon),
+            )
+
         if method == "cheb" and localization is not None and (
             max_obs is not None
         ):
@@ -179,8 +221,10 @@ def make_letkf_analysis(
             sp = state_data - mean[None, :]
 
             def cheb_chunk(gi_chunk, sp_chunk, mean_chunk):
+                from tpu_assim.ops.localization import safe_sqrt
+
                 idx, w_nbh = _select(gi_chunk, obs_info)
-                sw = jnp.sqrt(w_nbh).astype(perts.dtype)      # [c, nb]
+                sw = safe_sqrt(w_nbh).astype(perts.dtype)     # [c, nb]
                 zh = perts[:, idx].transpose(2, 0, 1) * sw.T[:, None, :]
                 yh = innov[idx].T * sw.T                      # [nb, c]
                 return letkf_nbh_analysis_cheb(
@@ -217,8 +261,10 @@ def make_letkf_analysis(
             # one HBM round-trip (ops/pallas/letkf.py).
             from tpu_assim.ops.pallas.letkf import letkf_nbh_analysis_fused
 
+            from tpu_assim.ops.localization import safe_sqrt
+
             idx, w_nbh = _select(grid_info, obs_info)
-            sw = jnp.sqrt(w_nbh).astype(perts.dtype)
+            sw = safe_sqrt(w_nbh).astype(perts.dtype)
             zh = perts[:, idx].transpose(1, 2, 0) * sw[:, :, None]
             yh = innov[idx] * sw
             mean = jnp.mean(state_data, axis=0)
@@ -272,11 +318,12 @@ def make_letkf_analysis(
         # coordinates are tracers; the kernel then uses its auto block and
         # NaN-poisons any overflowing tile instead of being silently wrong.
         obs_block = 0
+        concrete = not isinstance(
+            obs_coords, jax.core.Tracer
+        ) and not isinstance(grid_coords, jax.core.Tracer)
         if method == "fused1d" and localization is not None and (
             max_obs is not None
-        ) and not isinstance(
-            obs_coords, jax.core.Tracer
-        ) and not isinstance(grid_coords, jax.core.Tracer):
+        ) and concrete:
             from tpu_assim.ops.pallas.letkf import required_obs_block
 
             ox = np.asarray(obs_coords)[:, 0]
@@ -287,6 +334,26 @@ def make_letkf_analysis(
                 )
             obs_block = required_obs_block(
                 ox, np.asarray(grid_coords)[:, 0], max_obs
+            )
+        if method == "fused2d" and localization is not None and (
+            max_obs is not None
+        ):
+            if not concrete:
+                raise ValueError(
+                    "method='fused2d' under an outer jit needs the per-tile "
+                    "obs block precomputed; call the analysis function once "
+                    "with concrete coordinates, or use "
+                    "letkf_window_analysis_fused_2d directly with "
+                    "obs_block=required_obs_block_2d(...)"
+                )
+            from tpu_assim.ops.pallas.letkf import required_obs_block_2d
+
+            radii = np.atleast_1d(np.asarray(localization.radius,
+                                             dtype=float))
+            ry = float(radii[1] if radii.size > 1 else radii[0])
+            obs_block = required_obs_block_2d(
+                np.asarray(obs_coords)[:, 1], np.asarray(grid_coords)[:, 1],
+                ry,
             )
         return _impl_jit(state_data, obs_vals, obs_var, obs_idx,
                          grid_coords, obs_coords, obs_block)

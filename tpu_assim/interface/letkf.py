@@ -125,6 +125,26 @@ def _letkf_fused_analysis(
         )
         return out.reshape(v, t, k, g).astype(data.dtype)
 
+    if method == "fused2d":
+        # monolithic 2-D window kernel: per-dimension radii multiplied
+        # (reference gaspari_cohn.py:124-134); obs sorted internally
+        import numpy as np
+
+        from tpu_assim.ops.pallas.letkf import (
+            letkf_window_analysis_fused_2d,
+        )
+
+        radii = np.atleast_1d(np.asarray(localization.radius, dtype=float))
+        rx = float(radii[0])
+        ry = float(radii[1] if radii.size > 1 else radii[0])
+        out = letkf_window_analysis_fused_2d(
+            ens_obs_perts, innovations, obs_info[:, 1:3], grid_info[:, 1:3],
+            sp, mean, reg, rx, ry, k, obs_block=obs_block,
+            nb=max_obs, degree=cheb_degree, taper=taper,
+            epsilon=float(localization.epsilon),
+        )
+        return out.reshape(v, t, k, g).astype(data.dtype)
+
     def cheb_chunk(gi_chunk, sp_chunk, mean_chunk):
         if selection == "window":
             idx, w_nbh = neighborhood_select_window(
@@ -134,7 +154,9 @@ def _letkf_fused_analysis(
             idx, w_nbh = neighborhood_select(
                 localization, gi_chunk, obs_info, max_obs
             )
-        sw = jnp.sqrt(w_nbh).astype(dtype)              # [c, nb]
+        from tpu_assim.ops.localization import safe_sqrt
+
+        sw = safe_sqrt(w_nbh).astype(dtype)             # [c, nb]
         zh = ens_obs_perts[:, idx].transpose(2, 0, 1) * sw.T[:, None, :]
         yh = innovations[idx].T * sw.T                  # [nb, c]
         return letkf_nbh_analysis_cheb(
@@ -224,7 +246,7 @@ class LETKF(DomainLocalizedMixin, ETKF):
         self.method = method
         self.newton_iters = newton_iters
         self.cheb_degree = cheb_degree
-        if method in ("cheb", "fused1d"):
+        if method in ("cheb", "fused1d", "fused2d"):
             if localization is None or max_obs is None:
                 raise ValueError(
                     "method={0!r} needs localization and max_obs".format(
@@ -238,7 +260,7 @@ class LETKF(DomainLocalizedMixin, ETKF):
                         method
                     )
                 )
-        if method == "fused1d":
+        if method in ("fused1d", "fused2d"):
             import numpy as np
 
             from tpu_assim.ops.localization import (
@@ -248,17 +270,20 @@ class LETKF(DomainLocalizedMixin, ETKF):
 
             if not isinstance(localization, (GaspariCohn, GaspariCohnInf)):
                 raise TypeError(
-                    "method='fused1d' needs a GaspariCohn or GaspariCohnInf "
+                    "method={0!r} needs a GaspariCohn or GaspariCohnInf "
                     "localization (the taper polynomials are inlined in the "
-                    "kernel); got {0}".format(type(localization))
+                    "kernel); got {1}".format(method, type(localization))
                 )
             radius = np.atleast_1d(
                 np.asarray(getattr(localization, "radius", None))
             )
-            if radius.size != 1 or radius[0] is None:
+            max_dims = 1 if method == "fused1d" else 2
+            if radius.size > max_dims or radius[0] is None:
                 raise ValueError(
-                    "method='fused1d' needs a single-radius Gaspari-Cohn "
-                    "localization"
+                    "method={0!r} supports at most {1} localization "
+                    "radius dimension(s); got {2}".format(
+                        method, max_dims, radius
+                    )
                 )
 
     def __str__(self):
@@ -283,7 +308,7 @@ class LETKF(DomainLocalizedMixin, ETKF):
         )
         grid_info = state.grid_info()
         method = self.method
-        if method in ("cheb", "fused1d"):
+        if method in ("cheb", "fused1d", "fused2d"):
             # direct estimate_weights calls on a fused-configured instance
             # still get exact weight matrices
             method = "eigh"
@@ -363,12 +388,15 @@ class LETKF(DomainLocalizedMixin, ETKF):
         float64 but carries f32 accuracy (~1e-6 relative) — use
         method='eigh' for the f64 oracle path.
         """
-        if self.method not in ("cheb", "fused1d"):
+        if self.method not in ("cheb", "fused1d", "fused2d"):
             return super()._estimate_and_apply(state, filtered_obs, ens_obs)
         import numpy as np
 
         from tpu_assim.ops.localization import GaspariCohnInf
-        from tpu_assim.ops.pallas.letkf import required_obs_block
+        from tpu_assim.ops.pallas.letkf import (
+            required_obs_block,
+            required_obs_block_2d,
+        )
 
         innovations, ens_obs_perts, obs_info = self._get_obs_space_variables(
             ens_obs, filtered_obs
@@ -386,12 +414,21 @@ class LETKF(DomainLocalizedMixin, ETKF):
 
         obs_block = 0
         taper = "gc2"
-        if self.method == "fused1d":
+        if self.method in ("fused1d", "fused2d"):
             taper = (
                 "gcinf"
                 if isinstance(self.localization, GaspariCohnInf)
                 else "gc2"
             )
+        if self.method == "fused2d":
+            radii = np.atleast_1d(
+                np.asarray(self.localization.radius, dtype=float)
+            )
+            ry = float(radii[1] if radii.size > 1 else radii[0])
+            obs_block = required_obs_block_2d(
+                np.asarray(obs_info[:, 2]), np.asarray(grid_info[:, 2]), ry
+            )
+        if self.method == "fused1d":
             obs_x = np.asarray(obs_info[:, 1])
             if obs_x.shape[0] > 1 and np.any(obs_x[1:] < obs_x[:-1]):
                 # smoother-mode stacks repeat the spatial coordinates per

@@ -203,12 +203,22 @@ class Observation:
 
     # ---------------------------------------------------------- time slicing
     def sel_time(self, time_value: float) -> "Observation":
-        """Host-side exact time selection, the analog of
+        """Host-side time selection, the analog of
         ``obs.sel(time=[analysis_time])`` in the reference's filtering mode
         (interface/filter.py:48-52). Raises ``KeyError`` when the time is not
-        present, as xarray ``sel`` would."""
+        present, as xarray ``sel`` would.
+
+        Matching is by rounding-tolerant closeness (rtol 1e-12 plus a tiny
+        absolute floor), not exact float equality: the analysis time is
+        chosen by *nearest* state time (interface/base.py), and a state/obs
+        time pair differing only in the last float bits must still pair up —
+        the reference gets this for free from pandas timestamp equality,
+        float coordinates do not.
+        """
         times = np.asarray(self.times)
-        idx = np.nonzero(times == float(time_value))[0]
+        idx = np.nonzero(
+            np.isclose(times, float(time_value), rtol=1e-12, atol=1e-12)
+        )[0]
         if idx.size == 0:
             raise KeyError(
                 "time {0} not found in observation times".format(time_value)

@@ -25,6 +25,7 @@ from tpu_assim.ops.linalg import (
     evd,
     rev_evd,
     matrix_product,
+    inv_and_inv_sqrt_psd_eigh,
     inv_sqrt_psd_newton,
     sqrt_and_inv_sqrt_psd_newton,
     inv_spd_newton,
@@ -93,12 +94,18 @@ def etkf_weights_from_gram(
         return w_mean, w_perts, cov_analysed
     if method != "eigh":
         raise ValueError(f"unknown method {method!r}; use 'eigh' or 'newton'")
-    evals, evects, evals_inv = evd(kernel_perts, reg_value)
-    cov_analysed = rev_evd(evals_inv, evects)
+    # same math as evd + two rev_evd recompositions (core/etkf.py:57-77),
+    # via the Daleckii–Krein-differentiable solve: one eigh shared by
+    # (G+reg)^{-1} and (G+reg)^{-1/2}, NaN-free gradients on the degenerate
+    # spectra localized Grams always have (linalg.inv_and_inv_sqrt_psd_eigh)
+    cov_analysed, a_inv_sqrt = inv_and_inv_sqrt_psd_eigh(
+        kernel_perts, reg_value
+    )
     w_mean = jnp.einsum("...ij,...jl->...il", cov_analysed, kernel_obs,
                         precision=jax.lax.Precision.HIGHEST)
-    square_root_einv = jnp.sqrt((ens_size - 1) * evals_inv)
-    w_perts = rev_evd(square_root_einv, evects)
+    w_perts = jnp.sqrt(
+        jnp.asarray(ens_size - 1, kernel_perts.dtype)
+    ) * a_inv_sqrt
     return w_mean, w_perts, cov_analysed
 
 
@@ -273,7 +280,9 @@ def _letkf_weights_nbh_woodbury(
     nb = z.shape[-1]
     reg = (k - 1) / jnp.asarray(inf_factor, dtype=dtype)
     hp = jax.lax.Precision.HIGHEST
-    sw = jnp.sqrt(nbh_weights).astype(dtype)          # [g, nb]
+    from tpu_assim.ops.localization import safe_sqrt
+
+    sw = safe_sqrt(nbh_weights).astype(dtype)         # [g, nb]
     zh = z.transpose(1, 0, 2) * sw[:, None, :]        # [g, k, nb]
     yh = y * sw                                       # [g, nb]
     eye_nb = jnp.eye(nb, dtype=dtype)

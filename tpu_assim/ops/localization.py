@@ -32,7 +32,20 @@ __all__ = [
     "neighborhood_select",
     "neighborhood_select_window",
     "periodic_distance",
+    "safe_sqrt",
 ]
+
+
+def safe_sqrt(w: jnp.ndarray) -> jnp.ndarray:
+    """``sqrt`` with a zero (not inf/NaN) gradient at ``w == 0``.
+
+    Taper weights are exactly zero outside the localization support; plain
+    ``jnp.sqrt``'s derivative is infinite there, which turns every padded
+    neighborhood slot into NaN cotangents under reverse-mode AD. Primal
+    values are identical to ``jnp.sqrt`` for ``w >= 0``.
+    """
+    w_safe = jnp.where(w > 0, w, 1.0)
+    return jnp.where(w > 0, jnp.sqrt(w_safe), 0.0)
 
 
 def abs_distance(grid_coord: jnp.ndarray, obs_coords: jnp.ndarray) -> jnp.ndarray:

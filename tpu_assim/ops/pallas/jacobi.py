@@ -1,0 +1,201 @@
+"""
+Batched symmetric eigendecomposition as a Pallas TPU kernel
+(parallel-order cyclic Jacobi).
+
+Why: the ETKF weight solve eigendecomposes [B, K, K] Gram matrices with
+B ~ 10^4..10^6 and K ~ 20..100 (reference LAPACK call site:
+/root/reference/pytassim/core/utils.py:57 ``torch.symeig``). XLA's batched
+``jnp.linalg.eigh`` on TPU runs a QR-style path that costs ~1.0 s for
+[10^4, 40, 40] f32 on v5e — 600x the fused analysis kernel. This kernel runs
+two-sided Jacobi with *parallel ordering*: matrices live lane-major
+([K, K, T], T = 128 matrices in the lane dimension) and every round applies
+all disjoint Givens rotations of one pairing to ALL T matrices
+simultaneously as a handful of full-width VPU operations.
+
+The pairing is the arithmetic "mod" ordering ``partner(i) = (r - i) mod K``
+for round ``r = 0..K-1``: an involution with at most two fixed points per
+round, and every unordered pair {i, j} occurs exactly once per sweep (in
+round ``r = (i + j) mod K``). Crucially the partner gather is
+``flip`` + ``roll`` (``A[(r - i) mod K] = roll(flip(A), r + 1)``) and the
+pair masks come from iota comparisons — the kernel contains no literal
+constants (Pallas kernels cannot capture arrays).
+
+Jacobi is also the *accurate* choice: quadratic convergence once nearly
+diagonal and high relative accuracy for small eigenvalues — the property
+the parity tests check against ``jnp.linalg.eigh`` (1e-10 in f64 interpret
+mode; f32 roundoff on the chip).
+
+Per round (all [K, T] / [K, K, T] elementwise + flip/roll work):
+
+    d_i   = A[i, i]                      (diagonal mask reduction)
+    o_i   = A[i, partner(i)]             (anti-diagonal mask reduction)
+    tau_i = (d_partner(i) - d_i) / (2 o_i)
+    t_i   = sign(tau_i) / (|tau_i| + sqrt(1 + tau_i^2))    (stable root)
+    c_i   = rsqrt(1 + t_i^2),  s_i = t_i c_i   (s_q = -s_p automatically:
+                                                tau_q = -tau_p)
+    A <- rows:    c_i A[i] - s_i A[partner(i)]             (A <- G A)
+    A <- columns: c_j A[:, j] - s_j A[:, partner(j)]       (A <- A G^T)
+    V <- columns: same as A's column update                (V <- V G^T)
+
+so ``A_in == V A_out V^T`` is invariant and A_out converges to diag(evals).
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["eigh_jacobi"]
+
+
+def _jacobi_kernel(a_ref, evals_ref, evecs_ref, *, k, sweeps):
+    dtype = a_ref.dtype
+    a = a_ref[:][0]                                   # [K, K, T]
+    t_cols = a.shape[2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    eye2 = (row == col).astype(dtype)                 # [K, K]
+    v = eye2[:, :, None] * jnp.ones((1, 1, t_cols), dtype)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (k, t_cols), 0)
+    eps = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    def _reverse(x, axis):
+        # Mosaic has no `rev` lowering; a concatenation of static
+        # single-index slices compiles and is pure data movement
+        slices = [
+            jax.lax.slice_in_dim(x, k - 1 - i, k - i, axis=axis)
+            for i in range(k)
+        ]
+        return jnp.concatenate(slices, axis=axis)
+
+    def partner_gather(x, shift, axis):
+        # x[(r - i) mod K along axis] == roll(reverse(x, axis), r + 1, axis)
+        # (roll skipped for static shift 0: Mosaic rejects the zero-width
+        # slice jnp.roll would emit)
+        rev = _reverse(x, axis)
+        return rev if shift % k == 0 else jnp.roll(rev, shift, axis=axis)
+
+    def sweep_body(_, av):
+        a, v = av
+        for r in range(k):
+            shift = (r + 1) % k
+            anti = ((row + col) % k == r).astype(dtype)
+            d = jnp.sum(a * eye2[:, :, None], axis=1)             # [K, T]
+            o = jnp.sum(a * anti[:, :, None], axis=1)             # [K, T]
+            # symmetrize the pair's off value: A drifts from symmetry at
+            # the eps level, and once |a_pq| decays TO that level the two
+            # partners would otherwise compute structurally different
+            # rotations — a non-orthogonal G that corrupts eigenvalues by
+            # ~1e-5. One shared value keeps t_q == -t_p bitwise.
+            o = 0.5 * (o + partner_gather(o, shift, 0))
+            dq = partner_gather(d, shift, 0)
+            o_safe = jnp.where(jnp.abs(o) > eps, o, 1.0)
+            tau = (dq - d) / (2.0 * o_safe)
+            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            # tau == 0 (equal diagonal, nonzero off-diag): 45-degree
+            # rotation; sign(0) = 0 would stall convergence, and the
+            # override must stay antisymmetric between the partners
+            # (s_q = -s_p), so pick t by the row/partner order
+            p1 = jnp.remainder(r - i1, k)
+            t = jnp.where(tau == 0.0, jnp.where(i1 < p1, 1.0, -1.0), t)
+            # exact reciprocal sqrt: Mosaic's rsqrt is the VPU fast
+            # approximation, whose per-rotation non-orthogonality (~1e-4)
+            # compounds over hundreds of accumulated rotations
+            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            s = t * c
+            # fixed points (partner(i) == i) and converged pairs rotate by
+            # the identity
+            live = (jnp.abs(o) > eps) & ((2 * i1) % k != r)
+            c = jnp.where(live, c, 1.0)
+            s = jnp.where(live, s, 0.0)
+            a = c[:, None, :] * a - s[:, None, :] * partner_gather(
+                a, shift, 0
+            )
+            a = c[None, :, :] * a - s[None, :, :] * partner_gather(
+                a, shift, 1
+            )
+            v = c[None, :, :] * v - s[None, :, :] * partner_gather(
+                v, shift, 1
+            )
+        return a, v
+
+    a, v = jax.lax.fori_loop(0, sweeps, sweep_body, (a, v))
+    evals_ref[:] = jnp.sum(a * eye2[:, :, None], axis=1)[None]
+    evecs_ref[:] = v[None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sweeps", "tile", "interpret")
+)
+def eigh_jacobi(
+    a: jnp.ndarray,
+    sweeps: int = 8,
+    tile: int = 128,
+    interpret: bool | None = None,
+):
+    """Batched symmetric eigendecomposition, ascending eigenvalues.
+
+    Parameters
+    ----------
+    a : [..., K, K] symmetric matrices (any leading batch shape).
+    sweeps : full Jacobi sweeps (each = K parallel rounds covering every
+        pair once). 8 reaches working precision for K <= 64 on
+        well-conditioned Grams; quadratic convergence makes the last sweeps
+        cheap insurance.
+    tile : matrices per kernel program (lane dimension).
+
+    Returns ``(evals [..., K], evecs [..., K, K])`` with
+    ``a == evecs @ diag(evals) @ evecs.T`` — the :func:`jnp.linalg.eigh`
+    contract (eigenvector columns; signs arbitrary, as there).
+    """
+    from tpu_assim.ops.pallas.letkf import _resolve_interpret
+
+    batch_shape = a.shape[:-2]
+    k = a.shape[-1]
+    if a.shape[-2] != k:
+        raise ValueError(f"square trailing dims required, got {a.shape}")
+    dtype = a.dtype
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    a2 = jnp.moveaxis(a.reshape(b, k, k), 0, -1)       # [K, K, B]
+    n_tiles = -(-b // tile)
+    pad = n_tiles * tile - b
+    if pad:
+        a2 = jnp.pad(a2, ((0, 0), (0, 0), (0, pad)))
+
+    kernel = functools.partial(_jacobi_kernel, k=k, sweeps=sweeps)
+    evals, evecs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, k, k, tile), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, k, tile), lambda i: (0, 0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, k, n_tiles * tile), dtype),
+            jax.ShapeDtypeStruct((1, k, k, n_tiles * tile), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_resolve_interpret(interpret),
+    )(a2[None])
+    evals = jnp.moveaxis(evals[0, :, :b], -1, 0)           # [B, K]
+    evecs = jnp.moveaxis(evecs[0, :, :, :b], -1, 0)        # [B, K, K]
+    # ascending eigenvalue order (the jnp.linalg.eigh convention)
+    order = jnp.argsort(evals, axis=-1)
+    evals = jnp.take_along_axis(evals, order, axis=-1)
+    evecs = jnp.take_along_axis(evecs, order[:, None, :], axis=-1)
+    return (
+        evals.reshape(batch_shape + (k,)),
+        evecs.reshape(batch_shape + (k, k)),
+    )

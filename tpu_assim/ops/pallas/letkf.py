@@ -40,8 +40,10 @@ __all__ = [
     "letkf_nbh_analysis_fused",
     "letkf_nbh_analysis_cheb",
     "letkf_window_analysis_fused",
+    "letkf_window_analysis_fused_2d",
     "cheb_degree_for",
     "required_obs_block",
+    "required_obs_block_2d",
 ]
 
 
@@ -63,6 +65,36 @@ def cheb_degree_for(lam_max: float, tol: float = 1e-6,
     rho = (math.sqrt(lam) + 1.0) / (math.sqrt(lam) - 1.0)
     d = int(math.ceil(math.log(1.0 / tol) / math.log(rho)))
     return max(lo, min(hi, d))
+
+
+def required_obs_block_2d(obs_y, grid_y, radius_y: float,
+                          tile: int = 128) -> int:
+    """Exact per-tile obs block width for
+    :func:`letkf_window_analysis_fused_2d` (host-side, numpy).
+
+    A tile's block holds every observation inside its y-band
+    ``[min(gy) - 2 ry, max(gy) + 2 ry]`` (the Gaspari-Cohn support along y);
+    this returns the sublane-aligned maximum band population over tiles —
+    the smallest block that never drops an in-support observation.
+    ``obs_y`` need not be sorted (the kernel sorts internally).
+    """
+    import numpy as np
+
+    obs_y = np.sort(np.asarray(obs_y))
+    grid_y = np.asarray(grid_y)
+    o = obs_y.shape[0]
+    g = grid_y.shape[0]
+    n_tiles = -(-g // tile)
+    pad = n_tiles * tile - g
+    if pad:
+        grid_y = np.concatenate([grid_y, np.full(pad, grid_y[-1])])
+    tiles = grid_y.reshape(n_tiles, tile)
+    lo = tiles.min(axis=1) - 2.0 * radius_y
+    hi = tiles.max(axis=1) + 2.0 * radius_y
+    counts = (np.searchsorted(obs_y, hi, side="right")
+              - np.searchsorted(obs_y, lo))
+    width = max(int(counts.max()) if n_tiles else 8, 8)
+    return min(o, -(-width // 8) * 8)
 
 
 def required_obs_block(obs_x, grid_x, nb: int, tile: int = 128) -> int:
@@ -409,6 +441,81 @@ def _letkf_cheb_kernel(reg_ref, nodes_ref, dct_ref, zh_ref, yh_ref, sp_ref,
     )
 
 
+def _cheb_pallas(zh, yh, sp, mean3, reg_arr, ens_size, degree, tile,
+                 interpret):
+    """The raw pallas_call over padded f32 inputs (zh [nb, k, G],
+    yh [nb, G], sp [ns, k, G], mean3 [ns, 1, G], G a multiple of tile)."""
+    nb, k, gp = zh.shape
+    ns = sp.shape[0]
+    n_tiles = gp // tile
+    nodes, dct = _cheb_nodes_dct(degree)
+    kernel = functools.partial(
+        _letkf_cheb_kernel, ens_size=ens_size, degree=degree,
+    )
+    dp1 = degree + 1
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, dp1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp1, dp1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, k, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, 1, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ns, k, gp), jnp.float32),
+        interpret=interpret,
+    )(reg_arr, jnp.asarray(nodes)[None, :], jnp.asarray(dct), zh, yh, sp,
+      mean3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _cheb_call(zh, yh, sp, mean3, reg_arr, statics):
+    """Differentiable wrapper: Pallas forward, Chebyshev-consistent reverse.
+
+    The backward pass is reverse-mode AD over :func:`_cheb_solve_apply` in
+    plain XLA — polynomials and contractions only, so the gradient is
+    NaN-free everywhere (unlike eigh-based matrix functions) and is the
+    exact gradient OF the degree-d Chebyshev approximation the forward
+    computes (consistent to f32 accuracy with the true analysis gradient).
+    """
+    return _cheb_pallas(zh, yh, sp, mean3, reg_arr, *statics)
+
+
+def _cheb_call_fwd(zh, yh, sp, mean3, reg_arr, statics):
+    return _cheb_call(zh, yh, sp, mean3, reg_arr, statics), (
+        zh, yh, sp, mean3, reg_arr,
+    )
+
+
+def _cheb_call_bwd(statics, res, g):
+    ens_size, degree, _tile, _interpret = statics
+    zh, yh, sp, mean3, reg_arr = res
+    nodes, dct = _cheb_nodes_dct(degree)
+
+    def ref(zh_, yh_, sp_, mean_, reg_):
+        return _cheb_solve_apply(
+            jnp.asarray(nodes), jnp.asarray(dct), zh_, yh_, sp_, mean_,
+            reg_[0], ens_size, degree,
+        )
+
+    _, vjp = jax.vjp(ref, zh, yh, sp, mean3, reg_arr)
+    return vjp(g)
+
+
+_cheb_call.defvjp(_cheb_call_fwd, _cheb_call_bwd)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ens_size", "degree", "tile", "interpret"),
@@ -448,7 +555,6 @@ def letkf_nbh_analysis_cheb(
     if not multi:
         sp = sp[None]
         mean = mean[None]
-    ns = sp.shape[0]
     nb, k, g = zh.shape
     f32 = jnp.float32
     n_tiles = -(-g // tile)
@@ -459,37 +565,11 @@ def letkf_nbh_analysis_cheb(
         sp = jnp.pad(sp, ((0, 0), (0, 0), (0, pad)))
         mean = jnp.pad(mean, ((0, 0), (0, pad)))
     reg_arr = jnp.reshape(reg.astype(f32), (1,))
-    nodes, dct = _cheb_nodes_dct(degree)
-
-    kernel = functools.partial(
-        _letkf_cheb_kernel, ens_size=ens_size, degree=degree,
+    statics = (ens_size, degree, tile, _resolve_interpret(interpret))
+    out = _cheb_call(
+        zh.astype(f32), yh.astype(f32), sp.astype(f32),
+        mean.astype(f32)[:, None, :], reg_arr, statics,
     )
-    dp1 = degree + 1
-    out = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, dp1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((dp1, dp1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, k, tile), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ns, 1, tile), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ns, k, n_tiles * tile), f32),
-        interpret=_resolve_interpret(interpret),
-    )(reg_arr, jnp.asarray(nodes)[None, :], jnp.asarray(dct),
-      zh.astype(f32), yh.astype(f32), sp.astype(f32),
-      mean.astype(f32)[:, None, :])
     out = out[:, :, :g]
     return out if multi else out[0]
 
@@ -574,14 +654,17 @@ def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
     sel_all = (start[None, :] + slot).reshape(1, nb * t_cols)   # [1, nb*T]
     onehot = jnp.where(iota_o == sel_all, 1.0, 0.0)             # [o, nb*T]
     hp = jax.lax.Precision.HIGHEST
-    ox = jnp.sum(obs_x.reshape(-1, 1) * onehot, axis=0
-                 ).reshape(nb, t_cols)                          # [nb, T]
-    yv = jnp.sum(innov.reshape(-1, 1) * onehot, axis=0
-                 ).reshape(nb, t_cols)                          # [nb, T]
-    zz = jax.lax.dot_general(
-        perts, onehot, (((1,), (0,)), ((), ())),
+    # ONE selection matmul for perts + innovation + obs coords: they are
+    # consecutive rows of the packed table, and the MXU pads the row dim to
+    # 128 anyway — the extra two rows ride along for free, replacing two
+    # full-width VPU masked reductions
+    sel = jax.lax.dot_general(
+        pack[:ens_size + 2], onehot, (((1,), (0,)), ((), ())),
         preferred_element_type=f32, precision=hp,
-    ).reshape(ens_size, nb, t_cols)                             # [k, nb, T]
+    ).reshape(ens_size + 2, nb, t_cols)                         # [k+2,nb,T]
+    zz = sel[:ens_size]                                         # [k, nb, T]
+    yv = sel[ens_size]                                          # [nb, T]
+    ox = sel[ens_size + 1]                                      # [nb, T]
     # Gaspari-Cohn taper on all slots (gc2 or gcinf, see _taper_poly)
     z = jnp.abs(ox - grid_x) / radius                           # [nb, T]
     w = _taper_poly(z, taper, epsilon)
@@ -655,7 +738,6 @@ def letkf_window_analysis_fused(
     if not multi:
         sp = sp[None]
         mean = mean[None]
-    ns = sp.shape[0]
     f32 = jnp.float32
     n_tiles = -(-g // tile)
     pad = n_tiles * tile - g
@@ -666,21 +748,13 @@ def letkf_window_analysis_fused(
         mean = jnp.pad(mean, ((0, 0), (0, pad)))
     scal = jnp.stack([reg.astype(f32),
                       jnp.asarray(radius, f32)]).reshape(2,)
+    mean3 = mean.astype(f32)[:, None, :]
     # Exactness guard (traced-safe): unsorted obs coordinates would silently
     # select wrong windows — poison the whole output with NaN instead.
     # Concrete-input callers validate host-side (see required_obs_block).
     if o > 1:
         sorted_ok = jnp.all(obs_x[1:] >= obs_x[:-1])
-        mean = mean + jnp.where(sorted_ok, 0.0, jnp.nan).astype(mean.dtype)
-    nodes, dct = _cheb_nodes_dct(degree)
-    kernel = functools.partial(
-        _letkf_window_kernel, ens_size=ens_size, degree=degree, nb=nb,
-        epsilon=epsilon, taper=taper,
-    )
-    dp1 = degree + 1
-
-    rows = k + 2
-    rows_pad = -(-rows // 8) * 8
+        mean3 = mean3 + jnp.where(sorted_ok, 0.0, jnp.nan).astype(f32)
 
     if obs_block == 0:
         # Auto: per-tile blocking is a win whenever it shrinks the obs
@@ -692,11 +766,40 @@ def letkf_window_analysis_fused(
         obs_block = max(obs_block, 2 * nb)
         obs_block = -(-obs_block // 8) * 8  # sublane-align
 
+    statics = (ens_size, nb, degree, tile, epsilon, min(obs_block, o),
+               taper, _resolve_interpret(interpret))
+    out = _window_call(
+        perts.astype(f32), innov.astype(f32), obs_x.astype(f32),
+        grid_x.astype(f32), sp.astype(f32), mean3, scal, statics,
+    )
+    out = out[:, :, :g]
+    return out if multi else out[0]
+
+
+def _window_pallas(perts, innov, obs_x, grid_x, sp, mean3, scal,
+                   ens_size, nb, degree, tile, epsilon, obs_block, taper,
+                   interpret):
+    """The raw window-kernel pallas_call over padded f32 inputs
+    (perts [k, o], innov [o], obs_x [o], grid_x [G], sp [ns, k, G],
+    mean3 [ns, 1, G], G a multiple of tile)."""
+    f32 = jnp.float32
+    k, o = perts.shape
+    gp = grid_x.shape[0]
+    ns = sp.shape[0]
+    n_tiles = gp // tile
+    nodes, dct = _cheb_nodes_dct(degree)
+    kernel = functools.partial(
+        _letkf_window_kernel, ens_size=ens_size, degree=degree, nb=nb,
+        epsilon=epsilon, taper=taper,
+    )
+    dp1 = degree + 1
+    rows = k + 2
+    rows_pad = -(-rows // 8) * 8
+
     if obs_block >= o:
         # single shared packed obs table, replicated to every tile
         pack = jnp.concatenate(
-            [perts.astype(f32), innov.astype(f32)[None, :],
-             obs_x.astype(f32)[None, :],
+            [perts, innov[None, :], obs_x[None, :],
              jnp.zeros((rows_pad - rows, o), f32)], axis=0,
         )[None]                                            # [1, rows_pad, o]
         pack_idx = lambda i: (0, 0, 0)
@@ -721,20 +824,19 @@ def letkf_window_analysis_fused(
                                    method="sort")
         end_needed = jnp.clip(rank_hi - nb // 2, 0, max(o - nb, 0)) + nb
         bad_tile = (end_needed - offs) > o_b                 # [n_tiles]
-        mean = mean + jnp.where(
+        mean3 = mean3 + jnp.where(
             jnp.repeat(bad_tile, tile), jnp.nan, 0.0
-        ).astype(mean.dtype)[None, :]
+        ).astype(f32)[None, None, :]
         idx = offs[:, None] + jnp.arange(o_b, dtype=jnp.int32)[None, :]
         in_range = idx < o
         idx_c = jnp.minimum(idx, o - 1)
         big = jnp.asarray(jnp.finfo(f32).max, f32)
-        obs_x_b = jnp.where(in_range, jnp.take(obs_x.astype(f32), idx_c),
+        obs_x_b = jnp.where(in_range, jnp.take(obs_x, idx_c),
                             big)                           # [n_tiles, o_b]
-        innov_b = jnp.where(in_range, jnp.take(innov.astype(f32), idx_c),
-                            0.0)
+        innov_b = jnp.where(in_range, jnp.take(innov, idx_c), 0.0)
         perts_b = jnp.where(
             in_range[:, None, :],
-            jnp.take(perts.astype(f32), idx_c, axis=1).transpose(1, 0, 2),
+            jnp.take(perts, idx_c, axis=1).transpose(1, 0, 2),
             0.0,
         )                                                  # [n_tiles, k, o_b]
         pack = jnp.concatenate(
@@ -743,7 +845,7 @@ def letkf_window_analysis_fused(
         )                                                  # [n_tiles, rp, o_b]
         pack_idx = lambda i: (i, 0, 0)
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -763,10 +865,314 @@ def letkf_window_analysis_fused(
         ],
         out_specs=pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ns, k, n_tiles * tile), f32),
-        interpret=_resolve_interpret(interpret),
+        out_shape=jax.ShapeDtypeStruct((ns, k, gp), f32),
+        interpret=interpret,
     )(scal, jnp.asarray(nodes)[None, :], jnp.asarray(dct),
-      pack, grid_x.astype(f32)[None, :],
-      sp.astype(f32), mean.astype(f32)[:, None, :])
+      pack, grid_x[None, :], sp, mean3)
+
+
+def _window_analysis_ref(perts, innov, obs_x, grid_x, sp, mean3, scal, *,
+                         ens_size, nb, degree, epsilon, taper):
+    """Plain-XLA reference of the window kernel's math (unblocked): the
+    same rank-based window selection, taper, scaling, and Chebyshev
+    solve+apply — used as the differentiable backward of
+    :func:`letkf_window_analysis_fused` (see :func:`_cheb_call`)."""
+    from tpu_assim.ops.localization import safe_sqrt
+
+    reg = scal[0]
+    radius = scal[1]
+    o = obs_x.shape[0]
+    rank = jnp.searchsorted(obs_x, grid_x, side="right", method="sort")
+    start = jnp.clip(rank - nb // 2, 0, max(o - nb, 0))
+    idx = start[:, None] + jnp.arange(nb, dtype=start.dtype)[None, :]
+    ox = obs_x[idx]                                        # [G, nb]
+    z = jnp.abs(ox - grid_x[:, None]) / radius
+    w = _taper_poly(z, taper, epsilon)                     # [G, nb]
+    sw = safe_sqrt(w)
+    zh = perts[:, idx].transpose(2, 0, 1) * sw.T[:, None, :]  # [nb, k, G]
+    yh = innov[idx].T * sw.T                                  # [nb, G]
+    nodes, dct = _cheb_nodes_dct(degree)
+    return _cheb_solve_apply(
+        jnp.asarray(nodes), jnp.asarray(dct), zh, yh, sp, mean3, reg,
+        ens_size, degree,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _window_call(perts, innov, obs_x, grid_x, sp, mean3, scal, statics):
+    """Differentiable wrapper: Pallas forward, plain-XLA reverse over
+    :func:`_window_analysis_ref` (gradients w.r.t. all array inputs incl.
+    the coordinates through the taper; the integer window selection is
+    piecewise constant). Same gradient-consistency note as
+    :func:`_cheb_call`."""
+    return _window_pallas(perts, innov, obs_x, grid_x, sp, mean3, scal,
+                          *statics)
+
+
+def _window_call_fwd(perts, innov, obs_x, grid_x, sp, mean3, scal, statics):
+    out = _window_call(perts, innov, obs_x, grid_x, sp, mean3, scal, statics)
+    return out, (perts, innov, obs_x, grid_x, sp, mean3, scal)
+
+
+def _window_call_bwd(statics, res, g):
+    ens_size, nb, degree, _tile, epsilon, _obs_block, taper, _interp = statics
+    perts, innov, obs_x, grid_x, sp, mean3, scal = res
+
+    def ref(p_, i_, ox_, gx_, sp_, m_, sc_):
+        return _window_analysis_ref(
+            p_, i_, ox_, gx_, sp_, m_, sc_, ens_size=ens_size, nb=nb,
+            degree=degree, epsilon=epsilon, taper=taper,
+        )
+
+    _, vjp = jax.vjp(ref, perts, innov, obs_x, grid_x, sp, mean3, scal)
+    return vjp(g)
+
+
+_window_call.defvjp(_window_call_fwd, _window_call_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Monolithic 2-D-window kernel
+# ---------------------------------------------------------------------------
+#
+# 2-D domains get the monolithic path through a two-level selection:
+#
+#   prologue (XLA): obs are sorted by y; each grid tile's candidate block is
+#     the contiguous y-sorted slice inside the tile's y-band
+#     [min(gy) - 2 ry, max(gy) + 2 ry] (the Gaspari-Cohn support along y),
+#     re-sorted by x inside the block;
+#   kernel: the 1-D rank/window/one-hot machinery runs on the block's x
+#     coordinates, and the taper is the per-dimension product
+#     GC(|dx|/rx) * GC(|dy|/ry) (reference behavior:
+#     pytassim/localization/gaspari_cohn.py:124-134), followed by the same
+#     Chebyshev solve + apply.
+#
+# Exact when (a) the block holds the tile's whole y-band
+# (required_obs_block_2d) and (b) no column has more than ``nb`` band obs
+# inside its x-cutoff — the 2-D analog of the 1-D window condition. The
+# grid ordering only affects efficiency (a row-major grid gives thin
+# y-bands), never correctness: bands come from each tile's actual min/max.
+
+
+def _letkf_window2d_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
+                           grid_ref, sp_ref, mean_ref, out_ref,
+                           *, ens_size, degree, nb, epsilon, taper):
+    f32 = jnp.float32
+    reg = scal_ref[0]
+    rx = scal_ref[1]
+    ry = scal_ref[2]
+    # packed obs table [1, rows_pad, o_b]: rows 0..k-1 perts, k innov,
+    # k+1 x coords (sorted within the block), k+2 y coords
+    pack = obs_ref[:][0]
+    k_rows = ens_size
+    obs_x = pack[k_rows + 1:k_rows + 2]   # [1, o_b]
+    gx = grid_ref[0:1]                    # [1, T]
+    gy = grid_ref[1:2]                    # [1, T]
+    sp = sp_ref[:]                        # [ns, k, T]
+    n_obs = pack.shape[1]
+
+    # window starts by rank of gx among the block's x coords
+    cmp = jnp.where(obs_x.reshape(-1, 1) <= gx, 1.0, 0.0)       # [o_b, T]
+    center = jnp.sum(cmp, axis=0)                               # [T]
+    start = jnp.clip(center - (nb // 2), 0.0,
+                     float(n_obs - nb)).astype(jnp.int32)
+
+    t_cols = gx.shape[1]
+    iota_o = jax.lax.broadcasted_iota(jnp.int32, (n_obs, 1), 0)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (nb, t_cols), 0)
+    sel_all = (start[None, :] + slot).reshape(1, nb * t_cols)
+    onehot = jnp.where(iota_o == sel_all, 1.0, 0.0)             # [o_b,nb*T]
+    hp = jax.lax.Precision.HIGHEST
+    sel = jax.lax.dot_general(
+        pack[:ens_size + 3], onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=hp,
+    ).reshape(ens_size + 3, nb, t_cols)                         # [k+3,nb,T]
+    zz = sel[:ens_size]                                         # [k, nb, T]
+    yv = sel[ens_size]                                          # [nb, T]
+    ox = sel[ens_size + 1]                                      # [nb, T]
+    oy = sel[ens_size + 2]                                      # [nb, T]
+
+    # per-dimension taper product, epsilon cut on the product (the
+    # reference cuts the multiplied weights, gaspari_cohn.py:124-136)
+    zx = jnp.abs(ox - gx) / rx
+    zy = jnp.abs(oy - gy) / ry
+    w = _taper_poly(zx, taper, 0.0) * _taper_poly(zy, taper, 0.0)
+    w = jnp.where(w > epsilon, w, 0.0)
+    sw = jnp.sqrt(w)
+    zh = jnp.swapaxes(zz, 0, 1) * sw[:, None, :]                # [nb, k, T]
+    yh = yv * sw                                                # [nb, T]
+
+    out_ref[:] = _cheb_solve_apply(
+        nodes_ref[:], dct_ref[:], zh, yh, sp, mean_ref[:], reg,
+        ens_size, degree,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius_x", "radius_y", "ens_size", "nb", "degree",
+                     "tile", "interpret", "epsilon", "obs_block", "taper"),
+)
+def letkf_window_analysis_fused_2d(
+    perts: jnp.ndarray,
+    innov: jnp.ndarray,
+    obs_xy: jnp.ndarray,
+    grid_xy: jnp.ndarray,
+    sp: jnp.ndarray,
+    mean: jnp.ndarray,
+    reg: jnp.ndarray,
+    radius_x: float,
+    radius_y: float,
+    ens_size: int,
+    obs_block: int,
+    nb: int = 48,
+    degree: int = 16,
+    tile: int = 128,
+    epsilon: float = 1e-5,
+    taper: str = "gc2",
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """The complete 2-D-window LETKF analysis as ONE Pallas kernel.
+
+    Parameters
+    ----------
+    perts : [k, o] R^{-1/2}-normalized obs-space perturbations.
+    innov : [o] normalized innovations.
+    obs_xy : [o, 2] obs (x, y) coordinates — any order (sorted internally).
+    grid_xy : [g, 2] grid coordinates; order affects only efficiency (a
+        row-major grid gives thin per-tile y-bands), never correctness.
+    sp / mean : state perturbations / mean, [k, g] or [ns, k, g].
+    reg : scalar (K-1)/rho; radius_x / radius_y : static per-dimension
+        Gaspari-Cohn radii (the taper is the per-dimension product).
+    obs_block : per-tile y-band block width — REQUIRED; pass
+        :func:`required_obs_block_2d` (exact for concrete coordinates).
+        Overflowing tiles are NaN-poisoned, never silently truncated.
+    nb : x-window size inside the y-band block; exact when no column has
+        more than ``nb`` band obs within its x-cutoff ``2 radius_x``.
+
+    Returns analysis [k, g] (or [ns, k, g]). Forward-only (no custom VJP
+    yet); differentiate via method='cheb' or 'newton'.
+    """
+    k, o = perts.shape
+    g = grid_xy.shape[0]
+    if obs_block <= 0:
+        raise ValueError(
+            "obs_block is required for the 2-D window kernel; compute it "
+            "with required_obs_block_2d(obs_y, grid_y, radius_y, tile)"
+        )
+    multi = sp.ndim == 3
+    if not multi:
+        sp = sp[None]
+        mean = mean[None]
+    ns = sp.shape[0]
+    f32 = jnp.float32
+    n_tiles = -(-g // tile)
+    pad = n_tiles * tile - g
+    if pad:
+        grid_xy = jnp.pad(grid_xy, ((0, pad), (0, 0)), mode="edge")
+        sp = jnp.pad(sp, ((0, 0), (0, 0), (0, pad)))
+        mean = jnp.pad(mean, ((0, 0), (0, pad)))
+    mean3 = mean.astype(f32)[:, None, :]
+
+    # sort obs by y (internal — no precondition on the input order)
+    oy_order = jnp.argsort(obs_xy[:, 1])
+    perts = perts[:, oy_order].astype(f32)
+    innov = innov[oy_order].astype(f32)
+    ox_all = obs_xy[oy_order, 0].astype(f32)
+    oy_all = obs_xy[oy_order, 1].astype(f32)
+    gx = grid_xy[:, 0].astype(f32)
+    gy = grid_xy[:, 1].astype(f32)
+
+    o_b = min(obs_block, o)
+    rows = k + 3
+    rows_pad = -(-rows // 8) * 8
+    if o_b >= o:
+        # whole table per tile: re-sort by x once, shared pack
+        ordx = jnp.argsort(ox_all)
+        pack = jnp.concatenate(
+            [perts[:, ordx], innov[ordx][None, :], ox_all[ordx][None, :],
+             oy_all[ordx][None, :], jnp.zeros((rows_pad - rows, o), f32)],
+            axis=0,
+        )[None]
+        pack_idx = lambda i: (0, 0, 0)
+    else:
+        ty = gy.reshape(n_tiles, tile)
+        lo = ty.min(axis=1) - 2.0 * radius_y
+        hi = ty.max(axis=1) + 2.0 * radius_y
+        iy0 = jnp.clip(
+            jnp.searchsorted(oy_all, lo, method="sort"), 0, max(o - 1, 0)
+        ).astype(jnp.int32)
+        iy1 = jnp.searchsorted(oy_all, hi, side="right",
+                               method="sort").astype(jnp.int32)
+        # Exactness guard: band population beyond the block width would
+        # silently drop in-support observations — NaN-poison those tiles
+        bad_tile = (iy1 - iy0) > o_b
+        mean3 = mean3 + jnp.where(
+            jnp.repeat(bad_tile, tile), jnp.nan, 0.0
+        ).astype(f32)[None, None, :]
+        idx = iy0[:, None] + jnp.arange(o_b, dtype=jnp.int32)[None, :]
+        in_band = (idx < iy1[:, None]) & (idx < o)
+        idx_c = jnp.minimum(idx, o - 1)
+        big = jnp.asarray(jnp.finfo(f32).max, f32)
+        ox_b = jnp.where(in_band, jnp.take(ox_all, idx_c), big)
+        oy_b = jnp.where(in_band, jnp.take(oy_all, idx_c), big)
+        innov_b = jnp.where(in_band, jnp.take(innov, idx_c), 0.0)
+        perts_b = jnp.where(
+            in_band[:, None, :],
+            jnp.take(perts, idx_c, axis=1).transpose(1, 0, 2),
+            0.0,
+        )                                                  # [n_tiles,k,o_b]
+        # re-sort each block by x (out-of-band slots sort to the end)
+        ordx = jnp.argsort(ox_b, axis=1)                   # [n_tiles, o_b]
+        ox_b = jnp.take_along_axis(ox_b, ordx, axis=1)
+        oy_b = jnp.take_along_axis(oy_b, ordx, axis=1)
+        innov_b = jnp.take_along_axis(innov_b, ordx, axis=1)
+        perts_b = jnp.take_along_axis(perts_b, ordx[:, None, :], axis=2)
+        pack = jnp.concatenate(
+            [perts_b, innov_b[:, None, :], ox_b[:, None, :],
+             oy_b[:, None, :],
+             jnp.zeros((n_tiles, rows_pad - rows, o_b), f32)], axis=1,
+        )
+        pack_idx = lambda i: (i, 0, 0)
+
+    scal = jnp.stack([reg.astype(f32), jnp.asarray(radius_x, f32),
+                      jnp.asarray(radius_y, f32)]).reshape(3,)
+    grid2 = jnp.stack([gx, gy], axis=0)                    # [2, G]
+    nodes, dct = _cheb_nodes_dct(degree)
+    kernel = functools.partial(
+        _letkf_window2d_kernel, ens_size=ens_size, degree=degree, nb=nb,
+        epsilon=epsilon, taper=taper,
+    )
+    dp1 = degree + 1
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, dp1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp1, dp1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows_pad, o_b), pack_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, 1, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ns, k, n_tiles * tile), f32),
+        # the [nb, nb, T] Clenshaw state at the 2-D nb (~48-64) exceeds the
+        # default 16 MB scoped-vmem cap; the chip has far more (128 MB on
+        # v5e) — raise the cap instead of shrinking the tile
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_resolve_interpret(interpret),
+    )(scal, jnp.asarray(nodes)[None, :], jnp.asarray(dct), pack, grid2,
+      sp.astype(f32), mean3)
     out = out[:, :, :g]
     return out if multi else out[0]

@@ -76,7 +76,13 @@ def shard_observations(
 
     Parameters
     ----------
-    obs_vals / obs_var : [o] values and diagonal variances.
+    obs_vals : [o] values.
+    obs_var : [o] diagonal variances, or [o, o] correlated covariance. A
+        correlated R must be block-diagonal over the shard ownership (no
+        nonzero correlation between obs owned by different shards) — the
+        same restriction domain decomposition puts on the reference's
+        per-chunk whitening (pytassim/observation.py:247-271 whitens the
+        full vector; a cross-shard correlation cannot be whitened locally).
     obs_idx : [o] int observed grid columns.
     obs_coords : [o, d] obs coordinates.
     n_grid : total grid size (must divide evenly by ``n_shards``).
@@ -84,35 +90,56 @@ def shard_observations(
 
     Returns
     -------
-    (vals [s*p], var [s*p], local_idx [s*p], coords [s*p, d], valid [s*p],
+    (vals [s*p], var, local_idx [s*p], coords [s*p, d], valid [s*p],
      obs_per_shard p) — flat arrays whose leading dim shards evenly over the
-    mesh grid axis.
+    mesh grid axis. ``var`` is [s*p] for diagonal input or [s*p, p]
+    per-shard covariance blocks for correlated input (padded slots carry
+    unit diagonal).
     """
     if n_grid % n_shards:
         raise ValueError("n_grid must divide evenly over n_shards")
     shard_size = n_grid // n_shards
+    obs_var = np.asarray(obs_var)
+    correlated = obs_var.ndim == 2
     owner = np.asarray(obs_idx) // shard_size
     counts = np.bincount(owner, minlength=n_shards)
     obs_per_shard = int(counts.max())
     d = obs_coords.shape[1]
     vals = np.zeros((n_shards, obs_per_shard), dtype=obs_vals.dtype)
-    var = np.ones((n_shards, obs_per_shard), dtype=obs_var.dtype)
+    if correlated:
+        var = np.tile(
+            np.eye(obs_per_shard, dtype=obs_var.dtype), (n_shards, 1, 1)
+        )
+    else:
+        var = np.ones((n_shards, obs_per_shard), dtype=obs_var.dtype)
     lidx = np.zeros((n_shards, obs_per_shard), dtype=np.int32)
     coords = np.zeros((n_shards, obs_per_shard, d), dtype=obs_coords.dtype)
     valid = np.zeros((n_shards, obs_per_shard), dtype=obs_vals.dtype)
     fill = np.zeros(n_shards, dtype=np.int64)
+    slot = np.zeros(len(obs_vals), dtype=np.int64)
     for o in range(len(obs_vals)):
         s = owner[o]
         j = fill[s]
         vals[s, j] = obs_vals[o]
-        var[s, j] = obs_var[o]
+        if not correlated:
+            var[s, j] = obs_var[o]
         lidx[s, j] = obs_idx[o] - s * shard_size
         coords[s, j] = obs_coords[o]
         valid[s, j] = 1.0
+        slot[o] = j
         fill[s] += 1
+    if correlated:
+        nz_i, nz_j = np.nonzero(obs_var)
+        if np.any(owner[nz_i] != owner[nz_j]):
+            raise ValueError(
+                "correlated R must be block-diagonal over the shard "
+                "ownership: found nonzero correlation between obs owned by "
+                "different shards"
+            )
+        var[owner[nz_i], slot[nz_i], slot[nz_j]] = obs_var[nz_i, nz_j]
     return (
         vals.reshape(-1),
-        var.reshape(-1),
+        var.reshape(-1, obs_per_shard) if correlated else var.reshape(-1),
         lidx.reshape(-1),
         coords.reshape(-1, d),
         valid.reshape(-1),
@@ -148,6 +175,79 @@ def _ring_halo(packed: jnp.ndarray, axis_name: str, n_shards: int,
     return jnp.concatenate(blocks, axis=-1)
 
 
+def _ring_halo_rdma(packed: jnp.ndarray, axis_name: str, n_shards: int,
+                    halo_width: int,
+                    interpret: bool | None = None) -> jnp.ndarray:
+    """The halo exchange as ONE Pallas kernel using inter-chip RDMA
+    (``pltpu.make_async_remote_copy``) instead of XLA ppermutes.
+
+    All halo hops are issued as concurrent remote DMAs after a rendezvous
+    barrier with the halo partners, so the transfers overlap each other on
+    the ICI links (XLA serializes the ppermutes of :func:`_ring_halo` into
+    distinct collective steps). Produces bit-identical block layout to
+    ``_ring_halo``: slot ``j+1`` holds the block of shard ``(me - off_j)``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    offsets = _halo_offsets(n_shards, halo_width)
+    n_blk = len(offsets)
+    if n_blk == 0:
+        return packed
+    rows, o_ps = packed.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def kern(in_ref, out_ref, send_sem, recv_sem):
+        my = jax.lax.axis_index(axis_name)
+        n = jnp.int32(n_shards)
+        # rendezvous: every halo partner must have entered the kernel (its
+        # receive buffer exists) before anyone writes remotely. The offset
+        # set is symmetric as a set (h and -h mod n), so signaling each
+        # destination also covers each source. (The interpreter emulates
+        # devices synchronously and cannot lower the barrier semaphore, so
+        # the rendezvous is compiled-mode only.)
+        if not interpret:
+            barrier = pltpu.get_barrier_semaphore()
+            for off in offsets:
+                pltpu.semaphore_signal(
+                    barrier, inc=1,
+                    device_id=jax.lax.rem(my + jnp.int32(off), n),
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+            pltpu.semaphore_wait(barrier, n_blk)
+        out_ref[0] = in_ref[:]
+        copies = []
+        for i, off in enumerate(offsets):
+            rdma = pltpu.make_async_remote_copy(
+                src_ref=in_ref,
+                dst_ref=out_ref.at[1 + i],
+                send_sem=send_sem.at[i],
+                recv_sem=recv_sem.at[i],
+                device_id=jax.lax.rem(my + jnp.int32(off), n),
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            rdma.start()
+            copies.append(rdma)
+        for rdma in copies:
+            rdma.wait()
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((1 + n_blk, rows, o_ps),
+                                       packed.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((n_blk,)),
+                        pltpu.SemaphoreType.DMA((n_blk,))],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=0,
+        ),
+        interpret=interpret,
+    )(packed)
+    return out.transpose(1, 0, 2).reshape(rows, (1 + n_blk) * o_ps)
+
+
 def halo_letkf_analysis(
     mesh: Mesh,
     localization,
@@ -159,8 +259,13 @@ def halo_letkf_analysis(
     axis_name: str = "grid",
     use_pallas: bool = False,
     cheb_degree: int = 16,
+    comm: str = "ppermute",
 ) -> Callable:
     """Build a jitted obs-sharded LETKF analysis over ``mesh``.
+
+    ``comm``: ``"ppermute"`` — XLA ring collectives (default);
+    ``"rdma"`` — the halo exchange as one Pallas kernel of concurrent
+    inter-chip remote DMAs (:func:`_ring_halo_rdma`), bit-identical blocks.
 
     Returns
     -------
@@ -183,15 +288,32 @@ def halo_letkf_analysis(
         k = state_loc.shape[0]
         # local obs equivalents from the local grid block
         ens_obs = jnp.take(state_loc, lidx, axis=-1)          # [k, o_ps]
-        rcinv = 1.0 / jnp.sqrt(var)
         mean = jnp.mean(ens_obs, axis=0, keepdims=True)
-        perts = (ens_obs - mean) * rcinv * valid              # [k, o_ps]
-        innov = (vals - mean[0]) * rcinv * valid              # [o_ps]
+        if var.ndim == 2:
+            # per-shard correlated R block (shard_observations): whiten by
+            # the local Cholesky factor — padded slots carry unit diagonal
+            # and stay isolated, then are zeroed by the validity mask
+            from jax.scipy.linalg import solve_triangular
+
+            chol = jnp.linalg.cholesky(var)
+            perts = solve_triangular(
+                chol, (ens_obs - mean).T, lower=True
+            ).T * valid
+            innov = solve_triangular(
+                chol, vals - mean[0], lower=True
+            ) * valid
+        else:
+            rcinv = 1.0 / jnp.sqrt(var)
+            perts = (ens_obs - mean) * rcinv * valid          # [k, o_ps]
+            innov = (vals - mean[0]) * rcinv * valid          # [o_ps]
         # pack [perts | innov | valid | coords^T] and halo-exchange
         packed = jnp.concatenate(
             [perts, innov[None, :], valid[None, :], ocoords.T], axis=0
         )
-        cand = _ring_halo(packed, axis_name, n_shards, halo_width)
+        if comm == "rdma":
+            cand = _ring_halo_rdma(packed, axis_name, n_shards, halo_width)
+        else:
+            cand = _ring_halo(packed, axis_name, n_shards, halo_width)
         c_perts = cand[:k]
         c_innov = cand[k]
         c_valid = cand[k + 1]
@@ -221,9 +343,10 @@ def halo_letkf_analysis(
         if use_pallas:
             # fused lane-major Chebyshev kernel (the fast single-chip path,
             # ops/pallas/letkf.py:letkf_nbh_analysis_cheb) on each shard
+            from tpu_assim.ops.localization import safe_sqrt
             from tpu_assim.ops.pallas.letkf import letkf_nbh_analysis_cheb
 
-            sw = jnp.sqrt(top_w).astype(c_perts.dtype)        # [g, nb]
+            sw = safe_sqrt(top_w).astype(c_perts.dtype)       # [g, nb]
             zh = c_perts[:, top_idx].transpose(2, 0, 1) * sw.T[:, None, :]
             yh = c_innov[top_idx].T * sw.T                    # [nb, g]
             reg = jnp.asarray((k - 1) / inf_factor, c_perts.dtype)
@@ -240,29 +363,32 @@ def halo_letkf_analysis(
             "kg,gkm->mg", sp, weights, precision=jax.lax.Precision.HIGHEST
         )
 
-    sharded = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(
-            P(None, axis_name),   # state [k, g]
-            P(axis_name),         # obs vals
-            P(axis_name),         # obs var
-            P(axis_name),         # obs local idx
-            P(axis_name, None),   # obs coords
-            P(axis_name),         # obs valid
-            P(axis_name, None),   # grid coords
-            P(),                  # rho
-        ),
-        out_specs=P(None, axis_name),
-        # pallas_call outputs carry no varying-mesh-axes metadata; the
-        # manual check is disabled (every output is grid-sharded by
-        # construction of the out_specs)
-        check_vma=False,
-    )
-
     @jax.jit
     def analysis_fn(state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
                     obs_valid, grid_coords):
+        # var spec depends on diag ([s*p]) vs correlated blocks ([s*p, p]);
+        # the shard_map is built at trace time so the spec can follow the
+        # input rank
+        var_spec = P(axis_name, None) if obs_var.ndim == 2 else P(axis_name)
+        sharded = jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(
+                P(None, axis_name),   # state [k, g]
+                P(axis_name),         # obs vals
+                var_spec,             # obs var (diag or cov blocks)
+                P(axis_name),         # obs local idx
+                P(axis_name, None),   # obs coords
+                P(axis_name),         # obs valid
+                P(axis_name, None),   # grid coords
+                P(),                  # rho
+            ),
+            out_specs=P(None, axis_name),
+            # pallas_call outputs carry no varying-mesh-axes metadata, so
+            # the manual check is disabled only on the Pallas/RDMA branches;
+            # the plain-XLA branch keeps it
+            check_vma=not (use_pallas or comm == "rdma"),
+        )
         return sharded(
             state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
             obs_valid, grid_coords,
@@ -309,24 +435,43 @@ def shard_observations_2d(
     counts = np.bincount(owner, minlength=n_tiles)
     p = max(int(counts.max()), 1)
     d = obs_coords.shape[1]
+    obs_var = np.asarray(obs_var)
+    correlated = obs_var.ndim == 2
     vals = np.zeros((n_tiles, p), dtype=obs_vals.dtype)
-    var = np.ones((n_tiles, p), dtype=obs_var.dtype)
+    if correlated:
+        var = np.tile(np.eye(p, dtype=obs_var.dtype), (n_tiles, 1, 1))
+    else:
+        var = np.ones((n_tiles, p), dtype=obs_var.dtype)
     lidx = np.zeros((n_tiles, p), dtype=np.int32)
     coords = np.zeros((n_tiles, p, d), dtype=obs_coords.dtype)
     valid = np.zeros((n_tiles, p), dtype=obs_vals.dtype)
     fill = np.zeros(n_tiles, dtype=np.int64)
+    slot = np.zeros(len(obs_vals), dtype=np.int64)
     for o in range(len(obs_vals)):
         t = owner[o]
         j = fill[t]
         vals[t, j] = obs_vals[o]
-        var[t, j] = obs_var[o]
+        if not correlated:
+            var[t, j] = obs_var[o]
         li = (obs_ij[o, 0] % tr) * tc + (obs_ij[o, 1] % tc)
         lidx[t, j] = li
         coords[t, j] = obs_coords[o]
         valid[t, j] = 1.0
+        slot[o] = j
         fill[t] += 1
+    if correlated:
+        nz_i, nz_j = np.nonzero(obs_var)
+        if np.any(owner[nz_i] != owner[nz_j]):
+            raise ValueError(
+                "correlated R must be block-diagonal over the tile "
+                "ownership: found nonzero correlation between obs owned by "
+                "different tiles"
+            )
+        var[owner[nz_i], slot[nz_i], slot[nz_j]] = obs_var[nz_i, nz_j]
     return (
-        vals.reshape(-1), var.reshape(-1), lidx.reshape(-1),
+        vals.reshape(-1),
+        var.reshape(-1, p) if correlated else var.reshape(-1),
+        lidx.reshape(-1),
         coords.reshape(-1, d), valid.reshape(-1), p,
     )
 
@@ -389,10 +534,22 @@ def halo_letkf_analysis_2d(
         k, tr, tc = state_loc.shape
         state_flat = state_loc.reshape(k, tr * tc)
         ens_obs = jnp.take(state_flat, lidx, axis=-1)
-        rcinv = 1.0 / jnp.sqrt(var)
         mean = jnp.mean(ens_obs, axis=0, keepdims=True)
-        perts = (ens_obs - mean) * rcinv * valid
-        innov = (vals - mean[0]) * rcinv * valid
+        if var.ndim == 2:
+            # per-tile correlated R block (see halo_letkf_analysis)
+            from jax.scipy.linalg import solve_triangular
+
+            chol = jnp.linalg.cholesky(var)
+            perts = solve_triangular(
+                chol, (ens_obs - mean).T, lower=True
+            ).T * valid
+            innov = solve_triangular(
+                chol, vals - mean[0], lower=True
+            ) * valid
+        else:
+            rcinv = 1.0 / jnp.sqrt(var)
+            perts = (ens_obs - mean) * rcinv * valid
+            innov = (vals - mean[0]) * rcinv * valid
         packed = jnp.concatenate(
             [perts, innov[None, :], valid[None, :], ocoords.T], axis=0
         )
@@ -419,9 +576,10 @@ def halo_letkf_analysis_2d(
         mean_s = jnp.mean(state_flat, axis=0)
         sp = state_flat - mean_s[None, :]
         if use_pallas:
+            from tpu_assim.ops.localization import safe_sqrt
             from tpu_assim.ops.pallas.letkf import letkf_nbh_analysis_cheb
 
-            sw = jnp.sqrt(top_w).astype(c_perts.dtype)
+            sw = safe_sqrt(top_w).astype(c_perts.dtype)
             zh = c_perts[:, top_idx].transpose(2, 0, 1) * sw.T[:, None, :]
             yh = c_innov[top_idx].T * sw.T
             reg = jnp.asarray((k - 1) / inf_factor, c_perts.dtype)
@@ -439,26 +597,31 @@ def halo_letkf_analysis_2d(
                 precision=jax.lax.Precision.HIGHEST)
         return out.reshape(k, tr, tc)
 
-    sharded = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(
-            P(None, row_axis, col_axis),      # state [k, R, C]
-            P((row_axis, col_axis)),          # obs vals (tile-major flat)
-            P((row_axis, col_axis)),
-            P((row_axis, col_axis)),
-            P((row_axis, col_axis), None),
-            P((row_axis, col_axis)),
-            P(row_axis, col_axis, None),      # grid coords [R, C, d]
-            P(),
-        ),
-        out_specs=P(None, row_axis, col_axis),
-        check_vma=False,
-    )
-
     @jax.jit
     def analysis_fn(state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
                     obs_valid, grid_coords):
+        var_spec = (
+            P((row_axis, col_axis), None)
+            if obs_var.ndim == 2
+            else P((row_axis, col_axis))
+        )
+        sharded = jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(
+                P(None, row_axis, col_axis),      # state [k, R, C]
+                P((row_axis, col_axis)),          # obs vals (tile-major)
+                var_spec,                         # obs var (diag or blocks)
+                P((row_axis, col_axis)),
+                P((row_axis, col_axis), None),
+                P((row_axis, col_axis)),
+                P(row_axis, col_axis, None),      # grid coords [R, C, d]
+                P(),
+            ),
+            out_specs=P(None, row_axis, col_axis),
+            # see halo_letkf_analysis: check disabled only for Pallas
+            check_vma=not use_pallas,
+        )
         return sharded(
             state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
             obs_valid, grid_coords,
