@@ -108,19 +108,25 @@ def eigh_psd(tensor: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     eigenvector columns — the reference's ``torch.symeig(..., upper=False)``,
     pytassim/core/utils.py:57).
 
-    Dispatch: large f32 [B, K, K] batches on TPU go to the Pallas
-    parallel-Jacobi kernel (:func:`tpu_assim.ops.pallas.jacobi.eigh_jacobi`
-    — XLA's batched eigh costs ~1.0 s for [10^4, 40, 40] f32 on v5e, the
-    Jacobi kernel runs the whole batch lane-major on the VPU); everything
-    else (f64 parity paths on CPU, tiny batches, K > 64) stays on
-    ``jnp.linalg.eigh``.
+    Dispatch: with ``TPU_ASSIM_JACOBI=1`` in the environment, large f32
+    [B, K, K] batches on TPU go to the Pallas parallel-Jacobi kernel
+    (:func:`tpu_assim.ops.pallas.jacobi.eigh_jacobi` — XLA's batched eigh
+    costs ~1.0 s for [10^4, 40, 40] f32 on v5e, the Jacobi kernel 0.3 s
+    with eigenvectors). Opt-in rather than default because the Mosaic
+    compile of the unrolled rotation schedule currently takes minutes —
+    worth it for cycled experiments that reuse the compiled program, not
+    for a first interactive call. Everything else (f64 parity paths on
+    CPU, tiny batches, K > 64) stays on ``jnp.linalg.eigh``.
     """
+    import os
+
     k = tensor.shape[-1]
     batch = 1
     for dim in tensor.shape[:-2]:
         batch *= dim
     if (
-        tensor.dtype == jnp.float32
+        os.environ.get("TPU_ASSIM_JACOBI", "") == "1"
+        and tensor.dtype == jnp.float32
         and tensor.ndim >= 3
         and k <= 64
         and batch >= 256

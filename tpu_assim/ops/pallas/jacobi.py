@@ -52,7 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["eigh_jacobi"]
 
 
-def _jacobi_kernel(a_ref, evals_ref, evecs_ref, *, k, sweeps):
+def _jacobi_kernel(a_ref, evals_ref, evecs_ref, *, k, sweeps, use_flip):
     dtype = a_ref.dtype
     a = a_ref[:][0]                                   # [K, K, T]
     t_cols = a.shape[2]
@@ -64,6 +64,11 @@ def _jacobi_kernel(a_ref, evals_ref, evecs_ref, *, k, sweeps):
     eps = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
 
     def _reverse(x, axis):
+        if use_flip:
+            # interpreter (and plain XLA) lower `rev` natively — the
+            # slice-stack below would execute K separate ops per reverse
+            # and make interpret-mode tests ~10x slower
+            return jnp.flip(x, axis=axis)
         # Mosaic has no `rev` lowering; a concatenation of static
         # single-index slices compiles and is pure data movement
         slices = [
@@ -108,8 +113,16 @@ def _jacobi_kernel(a_ref, evals_ref, evecs_ref, *, k, sweeps):
             c = 1.0 / jnp.sqrt(1.0 + t * t)
             s = t * c
             # fixed points (partner(i) == i) and converged pairs rotate by
-            # the identity
-            live = (jnp.abs(o) > eps) & ((2 * i1) % k != r)
+            # the identity. The threshold freezes pairs whose off value is
+            # at the iteration's rounding floor (~k·eps of the local
+            # diagonal scale): in degenerate clusters such pairs otherwise
+            # rotate by noise-driven ~45-degree angles every sweep, which
+            # chaos-amplifies compiled-vs-interpret rounding differences
+            # and degrades the accumulated V's orthogonality ~100x.
+            tol = jnp.asarray(8 * k * jnp.finfo(dtype).eps, dtype) * (
+                jnp.abs(d) + jnp.abs(dq)
+            ) + eps
+            live = (jnp.abs(o) > tol) & ((2 * i1) % k != r)
             c = jnp.where(live, c, 1.0)
             s = jnp.where(live, s, 0.0)
             a = c[:, None, :] * a - s[:, None, :] * partner_gather(
@@ -166,7 +179,10 @@ def eigh_jacobi(
     if pad:
         a2 = jnp.pad(a2, ((0, 0), (0, 0), (0, pad)))
 
-    kernel = functools.partial(_jacobi_kernel, k=k, sweeps=sweeps)
+    interp = _resolve_interpret(interpret)
+    kernel = functools.partial(
+        _jacobi_kernel, k=k, sweeps=sweeps, use_flip=interp
+    )
     evals, evecs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -187,7 +203,7 @@ def eigh_jacobi(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-        interpret=_resolve_interpret(interpret),
+        interpret=interp,
     )(a2[None])
     evals = jnp.moveaxis(evals[0, :, :b], -1, 0)           # [B, K]
     evecs = jnp.moveaxis(evecs[0, :, :, :b], -1, 0)        # [B, K, K]
