@@ -308,6 +308,9 @@ def letkf_nbh_analysis_fused(
         out_specs=pl.BlockSpec((tile, k), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles * tile, k), f32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         interpret=_resolve_interpret(interpret),
     )(reg_arr, zh.astype(f32), yh.astype(f32), sp.astype(f32),
       mean.astype(f32)[:, None])
@@ -474,6 +477,11 @@ def _cheb_pallas(zh, yh, sp, mean3, reg_arr, ens_size, degree, tile,
         out_specs=pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ns, k, gp), jnp.float32),
+        # grid tiles are independent; declaring it lets Mosaic pipeline
+        # them (~3% on the benchmark workload)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         interpret=interpret,
     )(reg_arr, jnp.asarray(nodes)[None, :], jnp.asarray(dct), zh, yh, sp,
       mean3)
@@ -866,6 +874,9 @@ def _window_pallas(perts, innov, obs_x, grid_x, sp, mean3, scal,
         out_specs=pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ns, k, gp), f32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         interpret=interpret,
     )(scal, jnp.asarray(nodes)[None, :], jnp.asarray(dct),
       pack, grid_x[None, :], sp, mean3)
@@ -1169,7 +1180,8 @@ def letkf_window_analysis_fused_2d(
         # default 16 MB scoped-vmem cap; the chip has far more (128 MB on
         # v5e) — raise the cap instead of shrinking the tile
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",),
         ),
         interpret=_resolve_interpret(interpret),
     )(scal, jnp.asarray(nodes)[None, :], jnp.asarray(dct), pack, grid2,
