@@ -321,3 +321,50 @@ class TestFusedKernelVJP:
         g = jax.grad(lambda x: jnp.sum(safe_sqrt(x)))(w)
         assert np.isfinite(np.asarray(g)).all()
         assert float(g[0]) == 0.0
+
+
+class TestFused2DVJP:
+    """Custom VJP of the 2-D window kernel: gradients through
+    method='fused2d' match the weight-based newton path (the block-building
+    prologue differentiates as plain XLA; the kernel carries the
+    Pallas-forward / Chebyshev-reverse custom VJP)."""
+
+    def test_fused2d_grad_matches_newton(self, rng):
+        from tpu_assim.analysis import make_letkf_analysis
+        from tpu_assim.ops.localization import GaspariCohn
+
+        nr = nc = 12
+        g = nr * nc
+        ens, o = 8, 40
+        yy, xx = np.meshgrid(np.arange(nr, dtype="f8"),
+                             np.arange(nc, dtype="f8"), indexing="ij")
+        grid_xy = np.stack([xx.ravel(), yy.ravel()], 1)
+        state = jnp.asarray(rng.normal(size=(ens, g)))
+        obs_idx = rng.choice(g, size=o, replace=False)
+        args = (jnp.asarray(rng.normal(size=o)),
+                jnp.asarray(rng.uniform(0.5, 1.5, size=o)),
+                jnp.asarray(obs_idx.astype("i4")),
+                jnp.asarray(grid_xy), jnp.asarray(grid_xy[obs_idx]))
+
+        def dist2(gc, oi):
+            return jnp.stack([jnp.abs(oi[:, 1] - gc[1]),
+                              jnp.abs(oi[:, 2] - gc[2])], 0)
+
+        loc = GaspariCohn((3.5,), dist2)
+
+        def make_loss(method):
+            analyse = make_letkf_analysis(loc, 1.1, method=method,
+                                          max_obs=40, cheb_degree=30,
+                                          newton_iters=40)
+
+            def loss(s):
+                return jnp.sum(analyse(s, *args) ** 2)
+            return loss
+
+        g_fast = jax.grad(make_loss("fused2d"))(state)
+        g_ref = jax.grad(make_loss("newton"))(state)
+        assert np.isfinite(np.asarray(g_fast)).all()
+        scale = float(jnp.abs(g_ref).max())
+        np.testing.assert_allclose(np.asarray(g_fast) / scale,
+                                   np.asarray(g_ref) / scale,
+                                   atol=3e-5, rtol=0)

@@ -496,3 +496,46 @@ class TestFused2DClassAPI:
         rel = float(np.abs(np.asarray(fused) - np.asarray(exact)).max()
                     / np.abs(np.asarray(exact)).max())
         assert rel < 2e-4, rel
+
+
+class TestFused2DMultiSlice:
+    """fused2d through assimilate() on a multi-var multi-time state
+    (ns = v*t kernel slices sharing the obs-space solve), smoother mode
+    included."""
+
+    def test_fused2d_multivar_smoother(self, rng):
+        nr, nc, n_ens, n_obs, n_time = 12, 12, 8, 36, 2
+        g = nr * nc
+        yy, xx = np.meshgrid(np.arange(nr, dtype="f8"),
+                             np.arange(nc, dtype="f8"), indexing="ij")
+        grid_xy = np.stack([xx.ravel(), yy.ravel()], 1)
+        data = rng.randn(2, n_time, n_ens, g)
+        state = EnsembleState(jnp.asarray(data),
+                              times=jnp.arange(n_time, dtype=jnp.float64),
+                              grid_coords=jnp.asarray(grid_xy),
+                              var_names=("x", "y"))
+        obs_idx = np.sort(rng.choice(g, size=n_obs, replace=False))
+        truth = np.asarray(state.data[0].mean(axis=1))[:, obs_idx]
+        obs_vals = truth + rng.normal(scale=0.5, size=truth.shape)
+
+        def operator(obs, pseudo_state):
+            return pseudo_state.data[0][:, :, obs_idx]
+
+        obs = Observation(jnp.asarray(obs_vals),
+                          covariance=jnp.full((n_obs,), 0.5),
+                          obs_coords=jnp.asarray(grid_xy[obs_idx]),
+                          times=state.times, operator=operator)
+
+        def dist2(gc, oi):
+            return jnp.stack([jnp.abs(oi[:, 1] - gc[1]),
+                              jnp.abs(oi[:, 2] - gc[2])], 0)
+
+        loc = GaspariCohn((3.5,), dist2)
+        for smoother, max_obs in ((False, 36), (True, 72)):
+            exact = LETKF(localization=loc, inf_factor=1.1, max_obs=max_obs,
+                          method="eigh", smoother=smoother,
+                          chunksize=None).assimilate(state, obs)
+            fused = LETKF(localization=loc, inf_factor=1.1, max_obs=max_obs,
+                          method="fused2d", smoother=smoother,
+                          chunksize=None).assimilate(state, obs)
+            assert_close_f32(fused, exact)

@@ -1061,8 +1061,9 @@ def letkf_window_analysis_fused_2d(
     nb : x-window size inside the y-band block; exact when no column has
         more than ``nb`` band obs within its x-cutoff ``2 radius_x``.
 
-    Returns analysis [k, g] (or [ns, k, g]). Forward-only (no custom VJP
-    yet); differentiate via method='cheb' or 'newton'.
+    Returns analysis [k, g] (or [ns, k, g]). Differentiable: the kernel
+    carries a custom VJP (Pallas forward, plain-XLA Chebyshev reverse over
+    :func:`_window2d_ref`); the block-building prologue is plain XLA.
     """
     k, o = perts.shape
     g = grid_xy.shape[0]
@@ -1105,7 +1106,6 @@ def letkf_window_analysis_fused_2d(
              oy_all[ordx][None, :], jnp.zeros((rows_pad - rows, o), f32)],
             axis=0,
         )[None]
-        pack_idx = lambda i: (0, 0, 0)
     else:
         ty = gy.reshape(n_tiles, tile)
         lo = ty.min(axis=1) - 2.0 * radius_y
@@ -1144,18 +1144,36 @@ def letkf_window_analysis_fused_2d(
              oy_b[:, None, :],
              jnp.zeros((n_tiles, rows_pad - rows, o_b), f32)], axis=1,
         )
-        pack_idx = lambda i: (i, 0, 0)
 
     scal = jnp.stack([reg.astype(f32), jnp.asarray(radius_x, f32),
                       jnp.asarray(radius_y, f32)]).reshape(3,)
     grid2 = jnp.stack([gx, gy], axis=0)                    # [2, G]
+    statics = (ens_size, nb, degree, tile, epsilon, taper,
+               _resolve_interpret(interpret))
+    out = _window2d_call(pack, grid2, sp.astype(f32), mean3, scal, statics)
+    out = out[:, :, :g]
+    return out if multi else out[0]
+
+
+def _window2d_pallas(pack, grid2, sp, mean3, scal,
+                     ens_size, nb, degree, tile, epsilon, taper, interpret):
+    """The raw 2-D window pallas_call over prepared f32 inputs
+    (pack [1 or n_tiles, rows_pad, o_b], grid2 [2, G], sp [ns, k, G],
+    mean3 [ns, 1, G], G a multiple of tile)."""
+    f32 = jnp.float32
+    n_pack, rows_pad, o_b = pack.shape
+    ns, k, gp = sp.shape
+    n_tiles = gp // tile
+    pack_idx = (lambda i: (0, 0, 0)) if n_pack == 1 else (
+        lambda i: (i, 0, 0)
+    )
     nodes, dct = _cheb_nodes_dct(degree)
     kernel = functools.partial(
         _letkf_window2d_kernel, ens_size=ens_size, degree=degree, nb=nb,
         epsilon=epsilon, taper=taper,
     )
     dp1 = degree + 1
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -1175,7 +1193,7 @@ def letkf_window_analysis_fused_2d(
         ],
         out_specs=pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ns, k, n_tiles * tile), f32),
+        out_shape=jax.ShapeDtypeStruct((ns, k, gp), f32),
         # the [nb, nb, T] Clenshaw state at the 2-D nb (~48-64) exceeds the
         # default 16 MB scoped-vmem cap; the chip has far more (128 MB on
         # v5e) — raise the cap instead of shrinking the tile
@@ -1183,8 +1201,88 @@ def letkf_window_analysis_fused_2d(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("parallel",),
         ),
-        interpret=_resolve_interpret(interpret),
+        interpret=interpret,
     )(scal, jnp.asarray(nodes)[None, :], jnp.asarray(dct), pack, grid2,
-      sp.astype(f32), mean3)
-    out = out[:, :, :g]
-    return out if multi else out[0]
+      sp, mean3)
+
+
+def _window2d_ref(pack, grid2, sp, mean3, scal, *, ens_size, nb, degree,
+                  epsilon, taper, tile):
+    """Plain-XLA, tile-vmapped mirror of the 2-D window kernel's math —
+    the differentiable backward of :func:`letkf_window_analysis_fused_2d`
+    (the block-building prologue is already plain XLA outside the custom
+    boundary, so its gathers/sorts differentiate for free)."""
+    from tpu_assim.ops.localization import safe_sqrt
+
+    reg = scal[0]
+    rx = scal[1]
+    ry = scal[2]
+    ns, k, gp = sp.shape
+    n_tiles = gp // tile
+    gx = grid2[0].reshape(n_tiles, tile)
+    gy = grid2[1].reshape(n_tiles, tile)
+    spt = sp.reshape(ns, k, n_tiles, tile).transpose(2, 0, 1, 3)
+    mt = mean3.reshape(ns, 1, n_tiles, tile).transpose(2, 0, 1, 3)
+    packt = (
+        jnp.broadcast_to(pack, (n_tiles,) + pack.shape[1:])
+        if pack.shape[0] == 1 else pack
+    )
+    nodes, dct = _cheb_nodes_dct(degree)
+
+    def one_tile(pk, gxt, gyt, spt_, mt_):
+        obs_x = pk[ens_size + 1]                           # [o_b]
+        o_b = obs_x.shape[0]
+        rank = jnp.sum(
+            jnp.where(obs_x[:, None] <= gxt[None, :], 1.0, 0.0), axis=0
+        )
+        start = jnp.clip(rank - (nb // 2), 0.0,
+                         float(o_b - nb)).astype(jnp.int32)
+        idx = start[:, None] + jnp.arange(nb, dtype=jnp.int32)[None, :]
+        sel = pk[:ens_size + 3][:, idx]                    # [k+3, T, nb]
+        zz = sel[:ens_size]
+        yv = sel[ens_size]
+        ox = sel[ens_size + 1]
+        oy = sel[ens_size + 2]
+        zx = jnp.abs(ox - gxt[:, None]) / rx
+        zy = jnp.abs(oy - gyt[:, None]) / ry
+        w = _taper_poly(zx, taper, 0.0) * _taper_poly(zy, taper, 0.0)
+        w = jnp.where(w > epsilon, w, 0.0)
+        sw = safe_sqrt(w)                                  # [T, nb]
+        zh = zz.transpose(2, 0, 1) * sw.T[:, None, :]      # [nb, k, T]
+        yh = yv.T * sw.T                                   # [nb, T]
+        return _cheb_solve_apply(
+            jnp.asarray(nodes), jnp.asarray(dct), zh, yh, spt_, mt_, reg,
+            ens_size, degree,
+        )
+
+    out_t = jax.vmap(one_tile)(packt, gx, gy, spt, mt)     # [t, ns, k, T]
+    return out_t.transpose(1, 2, 0, 3).reshape(ns, k, gp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _window2d_call(pack, grid2, sp, mean3, scal, statics):
+    """Differentiable wrapper: Pallas forward, plain-XLA reverse over
+    :func:`_window2d_ref` (same gradient-consistency note as
+    :func:`_cheb_call`)."""
+    return _window2d_pallas(pack, grid2, sp, mean3, scal, *statics)
+
+
+def _window2d_call_fwd(pack, grid2, sp, mean3, scal, statics):
+    out = _window2d_call(pack, grid2, sp, mean3, scal, statics)
+    return out, (pack, grid2, sp, mean3, scal)
+
+
+def _window2d_call_bwd(statics, res, g):
+    ens_size, nb, degree, tile, epsilon, taper, _interp = statics
+    pack, grid2, sp, mean3, scal = res
+
+    def ref(pk, g2, sp_, m_, sc_):
+        return _window2d_ref(pk, g2, sp_, m_, sc_, ens_size=ens_size,
+                             nb=nb, degree=degree, epsilon=epsilon,
+                             taper=taper, tile=tile)
+
+    _, vjp = jax.vjp(ref, pack, grid2, sp, mean3, scal)
+    return vjp(g)
+
+
+_window2d_call.defvjp(_window2d_call_fwd, _window2d_call_bwd)
