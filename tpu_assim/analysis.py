@@ -90,6 +90,9 @@ def make_letkf_analysis(
         gather + solve + apply) as ONE Pallas kernel; requires sorted 1-D
         obs coordinates and a single-radius GaspariCohn localization. The
         TPU speed-of-light path.
+        ``"fused2d"`` — the 2-D monolithic kernel (per-tile y-band obs
+        blocks, in-block x-windows, per-dimension product taper); takes the
+        first two coordinate columns, any obs order, one or two radii.
     newton_iters : Newton iteration count for the Newton/Woodbury paths.
     max_obs : if set, each grid column solves over only its ``max_obs``
         largest-taper-weight observations (exact whenever no column has more
@@ -102,8 +105,12 @@ def make_letkf_analysis(
 
     Returns
     -------
-    analysis_fn(state_data [k, g], obs_vals [o], obs_var [o], obs_idx [o],
+    analysis_fn(state_data [k, g], obs_vals [o], obs_var, obs_idx [o],
                 grid_coords [g, d], obs_coords [o, d]) -> analysis [k, g]
+
+    ``obs_var`` is either a diagonal variance vector [o] or a full
+    correlated covariance [o, o] (Cholesky-whitened inside — the
+    reference's ``mul_rcinv`` contract on the fast path).
 
     The state here is the single-variable single-time ensemble matrix — the
     benchmark layout (reference: examples/benchmark_letkf.py:107-122). For
