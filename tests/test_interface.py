@@ -485,3 +485,25 @@ class TestGridChunking:
         np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
                                    atol=1e-12)
         assert chunked.shape == (37, 3)
+
+
+class TestKernelizedNewtonSolver:
+    """KETKF/LKETKF with method='newton' (matmul-only MXU solve on the
+    PSD centered kernel Gram) equals the exact eigh solve."""
+
+    def test_ketkf_newton_equals_eigh(self, state, obs):
+        a_eigh = KETKF(kernel=GaussKernel(2.0), inf_factor=1.1,
+                       method="eigh").assimilate(state, obs)
+        a_newt = KETKF(kernel=GaussKernel(2.0), inf_factor=1.1,
+                       method="newton",
+                       newton_iters=40).assimilate(state, obs)
+        assert_states_close(a_eigh, a_newt, atol=1e-8)
+
+    def test_lketkf_newton_equals_eigh(self, state, obs):
+        loc = GaspariCohn((8.0,), dummy_distance)
+        a_eigh = LKETKF(localization=loc, kernel=GaussKernel(2.0),
+                        inf_factor=1.1, method="eigh").assimilate(state, obs)
+        a_newt = LKETKF(localization=loc, kernel=GaussKernel(2.0),
+                        inf_factor=1.1, method="newton",
+                        newton_iters=40).assimilate(state, obs)
+        assert_states_close(a_eigh, a_newt, atol=1e-8)

@@ -21,10 +21,13 @@ from tpu_assim.state import EnsembleState
 __all__ = ["KETKF"]
 
 
-@jax.jit
-def _ketkf_estimate(kernel, ens_obs_perts, innovations, inf_factor):
+@partial(jax.jit, static_argnums=(4, 5))
+def _ketkf_estimate(kernel, ens_obs_perts, innovations, inf_factor,
+                    method, newton_iters):
     # kernel is a pytree: its parameters trace, its class is static.
-    return ketkf_weights(ens_obs_perts, innovations[None, :], kernel, inf_factor)
+    return ketkf_weights(ens_obs_perts, innovations[None, :], kernel,
+                         inf_factor, method=method,
+                         newton_iters=newton_iters)
 
 
 class KETKF(ETKF):
@@ -37,6 +40,8 @@ class KETKF(ETKF):
         Gram function over the trailing two dims). Default: linear kernel,
         which makes KETKF equivalent to ETKF.
     inf_factor : inflation rho, acting as l2-regularization of the GP weights.
+    method : ``"eigh"`` (exact, default) or ``"newton"`` (matmul-only MXU
+        solve — the centered kernel Gram is PSD, see ops/ketkf.py).
     """
 
     def __init__(
@@ -48,6 +53,8 @@ class KETKF(ETKF):
         post_transform=None,
         weight_save_path: Optional[str] = None,
         forward_model=None,
+        method: str = "eigh",
+        newton_iters: int = 25,
     ):
         super().__init__(
             inf_factor=inf_factor,
@@ -58,6 +65,8 @@ class KETKF(ETKF):
             forward_model=forward_model,
         )
         self.kernel = kernel if kernel is not None else LinearKernel()
+        self.method = method
+        self.newton_iters = newton_iters
 
     def __str__(self):
         return "Global KETKF(inf_factor={0}, kernel={1})".format(
@@ -81,4 +90,6 @@ class KETKF(ETKF):
             ens_obs_perts,
             innovations,
             jnp.asarray(self.inf_factor, dtype=ens_obs_perts.dtype),
+            self.method,
+            self.newton_iters,
         )

@@ -31,11 +31,13 @@ from tpu_assim.state import EnsembleState
 __all__ = ["LKETKF"]
 
 
-@partial(jax.jit, static_argnums=(0, 1))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _lketkf_solve(
-    localization, chunksize, kernel, ens_obs_perts, innovations, grid_info,
-    obs_info, inf_factor,
+    localization, chunksize, method, newton_iters, kernel, ens_obs_perts,
+    innovations, grid_info, obs_info, inf_factor,
 ):
+    from tpu_assim.ops.localization import safe_sqrt
+
     def chunk_fn(grid_chunk):
         if localization is None:
             w_loc = jnp.ones(
@@ -46,10 +48,11 @@ def _lketkf_solve(
             w_loc = localization.taper_weights(grid_chunk, obs_info).astype(
                 ens_obs_perts.dtype
             )
-        sqrt_w = jnp.sqrt(w_loc)  # [c, l]
+        sqrt_w = safe_sqrt(w_loc)  # [c, l]; zero-weight-gradient safe
         scaled_perts = ens_obs_perts[None, :, :] * sqrt_w[:, None, :]
         scaled_obs = (innovations[None, :] * sqrt_w)[:, None, :]
-        return ketkf_weights(scaled_perts, scaled_obs, kernel, inf_factor)
+        return ketkf_weights(scaled_perts, scaled_obs, kernel, inf_factor,
+                             method=method, newton_iters=newton_iters)
 
     return map_grid_chunked(chunk_fn, grid_info, chunksize)
 
@@ -68,6 +71,8 @@ class LKETKF(DomainLocalizedMixin, KETKF):
         chunksize: Optional[int] = 4096,
         weight_save_path: Optional[str] = None,
         forward_model=None,
+        method: str = "eigh",
+        newton_iters: int = 25,
     ):
         super().__init__(
             kernel=kernel,
@@ -77,6 +82,8 @@ class LKETKF(DomainLocalizedMixin, KETKF):
             post_transform=post_transform,
             weight_save_path=weight_save_path,
             forward_model=forward_model,
+            method=method,
+            newton_iters=newton_iters,
         )
         self.localization = localization
         self.chunksize = chunksize
@@ -104,6 +111,8 @@ class LKETKF(DomainLocalizedMixin, KETKF):
         return _lketkf_solve(
             self.localization,
             self.chunksize,
+            self.method,
+            self.newton_iters,
             self.kernel,
             ens_obs_perts,
             innovations,

@@ -48,6 +48,8 @@ def ketkf_weights(
     normed_obs: jnp.ndarray,
     kernel: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     inf_factor: jnp.ndarray | float = 1.0,
+    method: str = "eigh",
+    newton_iters: int = 25,
 ) -> jnp.ndarray:
     """KETKF ensemble weights (reference: pytassim/core/ketkf.py:65-94 with
     the forward template of core/etkf.py:79-103).
@@ -58,6 +60,10 @@ def ketkf_weights(
     normed_obs : [..., 1, l] (or [..., l]) normalized innovations.
     kernel : callable Gram function, e.g. :class:`tpu_assim.ops.kernels.GaussKernel`.
     inf_factor : inflation factor rho (l2-regularization of the GP weights).
+    method : ``"eigh"`` (exact) or ``"newton"`` (matmul-only Newton-Schulz
+        on the MXU — valid because the double-centered Gram of a PSD kernel
+        is itself PSD: centering is the projection ``P K P``).
+    newton_iters : iterations for ``method="newton"``.
     """
     if normed_obs.ndim == normed_perts.ndim - 1:
         normed_obs = normed_obs[..., None, :]
@@ -71,6 +77,7 @@ def ketkf_weights(
     k_obs = kernel(normed_perts, normed_obs)
     k_perts_centered, k_obs_centered = center_gram(k_perts, k_obs)
     w_mean, w_perts, _ = etkf_weights_from_gram(
-        k_perts_centered, k_obs_centered, ens_size, inf_factor
+        k_perts_centered, k_obs_centered, ens_size, inf_factor,
+        method=method, newton_iters=newton_iters,
     )
     return w_mean + w_perts
