@@ -67,6 +67,7 @@ def make_letkf_analysis(
     max_obs: Optional[int] = None,
     cheb_degree: int = 16,
     selection: str = "topk",
+    obs_block: Optional[int] = None,
 ):
     """Build a jitted single-cycle LETKF analysis.
 
@@ -102,6 +103,11 @@ def make_letkf_analysis(
     cheb_degree : Chebyshev degree for the ``cheb``/``fused1d`` kernels.
     selection : ``"topk"`` (general) or ``"window"`` (sorted 1-D obs
         coordinates; O(g*nb) instead of O(g*o) + top_k).
+    obs_block : explicit per-tile obs block width for the window kernels
+        (``required_obs_block`` / ``required_obs_block_2d``). With it set,
+        the returned function is fully traceable (usable inside an outer
+        jit, e.g. a cycled scan) — otherwise the block is computed
+        host-side from concrete coordinates at call time.
 
     Returns
     -------
@@ -324,10 +330,13 @@ def make_letkf_analysis(
         # observations, whatever the clustering). Under an outer jit the
         # coordinates are tracers; the kernel then uses its auto block and
         # NaN-poisons any overflowing tile instead of being silently wrong.
-        obs_block = 0
+        blk = obs_block if obs_block is not None else 0
         concrete = not isinstance(
             obs_coords, jax.core.Tracer
         ) and not isinstance(grid_coords, jax.core.Tracer)
+        if obs_block is not None:
+            return _impl_jit(state_data, obs_vals, obs_var, obs_idx,
+                             grid_coords, obs_coords, blk)
         if method == "fused1d" and localization is not None and (
             max_obs is not None
         ) and concrete:
@@ -339,7 +348,7 @@ def make_letkf_analysis(
                     "method='fused1d' needs obs coordinates sorted "
                     "ascending along dimension 0"
                 )
-            obs_block = required_obs_block(
+            blk = required_obs_block(
                 ox, np.asarray(grid_coords)[:, 0], max_obs
             )
         if method == "fused2d" and localization is not None and (
@@ -348,22 +357,21 @@ def make_letkf_analysis(
             if not concrete:
                 raise ValueError(
                     "method='fused2d' under an outer jit needs the per-tile "
-                    "obs block precomputed; call the analysis function once "
-                    "with concrete coordinates, or use "
-                    "letkf_window_analysis_fused_2d directly with "
-                    "obs_block=required_obs_block_2d(...)"
+                    "obs block precomputed: build the analysis with "
+                    "make_letkf_analysis(..., obs_block="
+                    "required_obs_block_2d(...))"
                 )
             from tpu_assim.ops.pallas.letkf import required_obs_block_2d
 
             radii = np.atleast_1d(np.asarray(localization.radius,
                                              dtype=float))
             ry = float(radii[1] if radii.size > 1 else radii[0])
-            obs_block = required_obs_block_2d(
+            blk = required_obs_block_2d(
                 np.asarray(obs_coords)[:, 1], np.asarray(grid_coords)[:, 1],
                 ry,
             )
         return _impl_jit(state_data, obs_vals, obs_var, obs_idx,
-                         grid_coords, obs_coords, obs_block)
+                         grid_coords, obs_coords, blk)
 
     return analysis_fn
 
