@@ -539,3 +539,54 @@ class TestFused2DMultiSlice:
                           method="fused2d", smoother=smoother,
                           chunksize=None).assimilate(state, obs)
             assert_close_f32(fused, exact)
+
+
+class TestFused2DTraceable:
+    """With an explicit obs_block the fused2d analysis is fully traceable —
+    usable inside an outer jit/scan (the cycled-DA composition)."""
+
+    def test_fused2d_inside_scan(self, rng):
+        import jax
+        from tpu_assim.analysis import make_letkf_analysis
+        from tpu_assim.ops.pallas.letkf import required_obs_block_2d
+
+        nr = nc = 16
+        g = nr * nc
+        ens, o = 8, 48
+        yy, xx = np.meshgrid(np.arange(nr, dtype="f8"),
+                             np.arange(nc, dtype="f8"), indexing="ij")
+        grid_xy = np.stack([xx.ravel(), yy.ravel()], 1)
+        state = jnp.asarray(rng.normal(size=(ens, g)).astype("f4"))
+        obs_idx = rng.choice(g, size=o, replace=False).astype("i4")
+        obs_xy = grid_xy[obs_idx]
+        obs_seq = jnp.asarray(rng.normal(size=(3, o)).astype("f4"))
+        ovar = jnp.ones(o, jnp.float32)
+
+        def dist2(gc, oi):
+            return jnp.stack([jnp.abs(oi[:, 1] - gc[1]),
+                              jnp.abs(oi[:, 2] - gc[2])], 0)
+
+        loc = GaspariCohn((3.0,), dist2)
+        blk = required_obs_block_2d(obs_xy[:, 1], grid_xy[:, 1], 3.0)
+        analyse = make_letkf_analysis(loc, 1.1, method="fused2d",
+                                      max_obs=48, cheb_degree=16,
+                                      obs_block=blk)
+        args = (ovar, jnp.asarray(obs_idx), jnp.asarray(grid_xy),
+                jnp.asarray(obs_xy))
+
+        @jax.jit
+        def cycles(s0):
+            def body(s, obs_vals):
+                return analyse(s, obs_vals, *args), None
+
+            out, _ = jax.lax.scan(body, s0, obs_seq)
+            return out
+
+        scanned = cycles(state)
+        # equals three sequential direct calls
+        direct = state
+        for c in range(3):
+            direct = analyse(direct, obs_seq[c], *args)
+        np.testing.assert_allclose(np.asarray(scanned), np.asarray(direct),
+                                   rtol=1e-5, atol=1e-5)
+        assert np.isfinite(np.asarray(scanned)).all()
