@@ -15,7 +15,6 @@ import logging
 import time as _time
 from typing import Callable, Iterable, List, Optional, Sequence, Tuple, Union
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

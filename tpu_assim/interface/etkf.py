@@ -8,7 +8,6 @@ followed by weight application. The reference's
 replaced by one jitted call of the batched functional core.
 """
 
-from functools import partial
 from typing import List, Optional
 
 import jax

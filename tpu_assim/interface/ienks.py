@@ -7,7 +7,6 @@ learning rate ``tau`` is bounded to [0, 1] and ``epsilon`` to > 0, matching
 the reference's ``bound_tensor`` setters (ienks.py:64-68, 137-155).
 """
 
-from functools import partial
 from typing import Callable, List, Optional
 
 import jax
