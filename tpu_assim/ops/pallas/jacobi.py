@@ -1,6 +1,6 @@
 """
 Batched symmetric eigendecomposition as a Pallas TPU kernel
-(parallel-order cyclic Jacobi).
+(parallel-order cyclic Jacobi, Brent-Luk tournament ordering).
 
 Why: the ETKF weight solve eigendecomposes [B, K, K] Gram matrices with
 B ~ 10^4..10^6 and K ~ 20..100 (reference LAPACK call site:
@@ -9,35 +9,47 @@ B ~ 10^4..10^6 and K ~ 20..100 (reference LAPACK call site:
 [10^4, 40, 40] f32 on v5e — 600x the fused analysis kernel. This kernel runs
 two-sided Jacobi with *parallel ordering*: matrices live lane-major
 ([K, K, T], T = 128 matrices in the lane dimension) and every round applies
-all disjoint Givens rotations of one pairing to ALL T matrices
+all K/2 disjoint Givens rotations of one pairing to ALL T matrices
 simultaneously as a handful of full-width VPU operations.
 
-The pairing is the arithmetic "mod" ordering ``partner(i) = (r - i) mod K``
-for round ``r = 0..K-1``: an involution with at most two fixed points per
-round, and every unordered pair {i, j} occurs exactly once per sweep (in
-round ``r = (i + j) mod K``). Crucially the partner gather is
-``flip`` + ``roll`` (``A[(r - i) mod K] = roll(flip(A), r + 1)``) and the
-pair masks come from iota comparisons — the kernel contains no literal
-constants (Pallas kernels cannot capture arrays).
+Ordering: the Brent-Luk round-robin tournament. Rows/columns are *seats*;
+the pairs are always the adjacent seats ``(2i, 2i+1)``, and after each round
+every player except seat 0 moves one seat around the ring (applied as an
+explicit permutation of A's rows+columns and V's columns). Over ``K - 1``
+rounds every unordered pair meets exactly once AND the seat permutation
+composes back to the identity — so after any whole number of sweeps the
+matrix is back in original index order. The payoff vs the arithmetic
+"mod" ordering (partner ``(r - i) mod K``, round-dependent): every round's
+body is *identical* (partner gather = adjacent-pair swap; the re-seating is
+one fixed mask/shift select), so the whole iteration is ONE
+``fori_loop`` whose body Mosaic compiles once — compile time drops from
+~10 minutes (K unrolled rounds x K-slice reverse gathers) to seconds, and
+the per-round data movement shrinks from ~5K strided slices to ~9 rolls.
 
 Jacobi is also the *accurate* choice: quadratic convergence once nearly
 diagonal and high relative accuracy for small eigenvalues — the property
 the parity tests check against ``jnp.linalg.eigh`` (1e-10 in f64 interpret
 mode; f32 roundoff on the chip).
 
-Per round (all [K, T] / [K, K, T] elementwise + flip/roll work):
+Per round (all [K, T] / [K, K, T] elementwise + static-shift roll work),
+with ``swap`` the adjacent-pair swap and ``perm`` the tournament
+re-seating:
 
     d_i   = A[i, i]                      (diagonal mask reduction)
-    o_i   = A[i, partner(i)]             (anti-diagonal mask reduction)
-    tau_i = (d_partner(i) - d_i) / (2 o_i)
+    o_i   = A[i, i^1]                    (pair-off mask reduction)
+    tau_i = (d_{i^1} - d_i) / (2 o_i)
     t_i   = sign(tau_i) / (|tau_i| + sqrt(1 + tau_i^2))    (stable root)
-    c_i   = rsqrt(1 + t_i^2),  s_i = t_i c_i   (s_q = -s_p automatically:
-                                                tau_q = -tau_p)
-    A <- rows:    c_i A[i] - s_i A[partner(i)]             (A <- G A)
-    A <- columns: c_j A[:, j] - s_j A[:, partner(j)]       (A <- A G^T)
-    V <- columns: same as A's column update                (V <- V G^T)
+    c_i   = 1/sqrt(1 + t_i^2),  s_i = t_i c_i  (s_{i^1} = -s_i: tau is
+                                                antisymmetric in the pair)
+    A <- perm_rows(perm_cols(c_i A[i] - s_i A[i^1] applied to rows, then
+                             columns))                     (A <- P G A G^T P^T)
+    V <- perm_cols(c_j V[:, j] - s_j V[:, j^1])            (V <- V G^T P^T)
 
-so ``A_in == V A_out V^T`` is invariant and A_out converges to diag(evals).
+so ``A_in == V A_out V^T`` is invariant and A_out converges to
+diag(evals). Odd K is padded with one decoupled seat (zero off-diagonals,
+diagonal above the spectral bound): its pair is frozen every round (a
+"bye"), its eigenpair is exact and sorts last, and the wrapper slices it
+off.
 """
 
 import functools
@@ -52,91 +64,101 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["eigh_jacobi"]
 
 
-def _jacobi_kernel(a_ref, evals_ref, evecs_ref, *, k, sweeps, use_flip):
+def _mask_iota(shape_len, axis, k):
+    """Seat-index iota broadcastable over a rank-``shape_len`` array whose
+    ``axis`` has extent k."""
+    shape = [1] * shape_len
+    shape[axis] = k
+    return jax.lax.broadcasted_iota(jnp.int32, tuple(shape), axis)
+
+
+def _pairswap(x, axis, k):
+    """x[..., p ^ 1, ...]: swap adjacent pair seats along ``axis``
+    (static-shift rolls + parity select — Mosaic has no gather/rev)."""
+    p = _mask_iota(x.ndim, axis, k)
+    nxt = jnp.roll(x, -1, axis=axis)   # x[p + 1]
+    prv = jnp.roll(x, 1, axis=axis)    # x[p - 1]
+    return jnp.where(p % 2 == 0, nxt, prv)
+
+
+def _perm_round(x, axis, k):
+    """The tournament re-seating along ``axis``: seat 0 fixed, everyone
+    else one step around the ring. new[p] = old[src(p)] with
+    src = p (p=0) | p-1 (p in {2, K-1}) | p-2 (p even) | p+2 (p odd)."""
+    if k == 2:
+        return x
+    p = _mask_iota(x.ndim, axis, k)
+    r2p = jnp.roll(x, 2, axis=axis)    # old[p - 2]
+    r2m = jnp.roll(x, -2, axis=axis)   # old[p + 2]
+    r1p = jnp.roll(x, 1, axis=axis)    # old[p - 1]
+    out = jnp.where(p % 2 == 0, r2p, r2m)
+    out = jnp.where((p == 2) | (p == k - 1), r1p, out)
+    return jnp.where(p == 0, x, out)
+
+
+def _jacobi_kernel(a_ref, evals_ref, evecs_ref, *, k, sweeps):
     dtype = a_ref.dtype
     a = a_ref[:][0]                                   # [K, K, T]
     t_cols = a.shape[2]
     row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     eye2 = (row == col).astype(dtype)                 # [K, K]
+    # pair-off mask: the (p, p^1) entries
+    anti = ((row // 2 == col // 2) & (row != col)).astype(dtype)
     v = eye2[:, :, None] * jnp.ones((1, 1, t_cols), dtype)
     i1 = jax.lax.broadcasted_iota(jnp.int32, (k, t_cols), 0)
+    even = i1 % 2 == 0
     eps = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
 
-    def _reverse(x, axis):
-        if use_flip:
-            # interpreter (and plain XLA) lower `rev` natively — the
-            # slice-stack below would execute K separate ops per reverse
-            # and make interpret-mode tests ~10x slower
-            return jnp.flip(x, axis=axis)
-        # Mosaic has no `rev` lowering; a concatenation of static
-        # single-index slices compiles and is pure data movement
-        slices = [
-            jax.lax.slice_in_dim(x, k - 1 - i, k - i, axis=axis)
-            for i in range(k)
-        ]
-        return jnp.concatenate(slices, axis=axis)
-
-    def partner_gather(x, shift, axis):
-        # x[(r - i) mod K along axis] == roll(reverse(x, axis), r + 1, axis)
-        # (roll skipped for static shift 0: Mosaic rejects the zero-width
-        # slice jnp.roll would emit)
-        rev = _reverse(x, axis)
-        return rev if shift % k == 0 else jnp.roll(rev, shift, axis=axis)
-
-    def sweep_body(_, av):
+    def round_body(_, av):
         a, v = av
-        for r in range(k):
-            shift = (r + 1) % k
-            anti = ((row + col) % k == r).astype(dtype)
-            d = jnp.sum(a * eye2[:, :, None], axis=1)             # [K, T]
-            o = jnp.sum(a * anti[:, :, None], axis=1)             # [K, T]
-            # symmetrize the pair's off value: A drifts from symmetry at
-            # the eps level, and once |a_pq| decays TO that level the two
-            # partners would otherwise compute structurally different
-            # rotations — a non-orthogonal G that corrupts eigenvalues by
-            # ~1e-5. One shared value keeps t_q == -t_p bitwise.
-            o = 0.5 * (o + partner_gather(o, shift, 0))
-            dq = partner_gather(d, shift, 0)
-            o_safe = jnp.where(jnp.abs(o) > eps, o, 1.0)
-            tau = (dq - d) / (2.0 * o_safe)
-            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-            # tau == 0 (equal diagonal, nonzero off-diag): 45-degree
-            # rotation; sign(0) = 0 would stall convergence, and the
-            # override must stay antisymmetric between the partners
-            # (s_q = -s_p), so pick t by the row/partner order
-            p1 = jnp.remainder(r - i1, k)
-            t = jnp.where(tau == 0.0, jnp.where(i1 < p1, 1.0, -1.0), t)
-            # exact reciprocal sqrt: Mosaic's rsqrt is the VPU fast
-            # approximation, whose per-rotation non-orthogonality (~1e-4)
-            # compounds over hundreds of accumulated rotations
-            c = 1.0 / jnp.sqrt(1.0 + t * t)
-            s = t * c
-            # fixed points (partner(i) == i) and converged pairs rotate by
-            # the identity. The threshold freezes pairs whose off value is
-            # at the iteration's rounding floor (~k·eps of the local
-            # diagonal scale): in degenerate clusters such pairs otherwise
-            # rotate by noise-driven ~45-degree angles every sweep, which
-            # chaos-amplifies compiled-vs-interpret rounding differences
-            # and degrades the accumulated V's orthogonality ~100x.
-            tol = jnp.asarray(8 * k * jnp.finfo(dtype).eps, dtype) * (
-                jnp.abs(d) + jnp.abs(dq)
-            ) + eps
-            live = (jnp.abs(o) > tol) & ((2 * i1) % k != r)
-            c = jnp.where(live, c, 1.0)
-            s = jnp.where(live, s, 0.0)
-            a = c[:, None, :] * a - s[:, None, :] * partner_gather(
-                a, shift, 0
-            )
-            a = c[None, :, :] * a - s[None, :, :] * partner_gather(
-                a, shift, 1
-            )
-            v = c[None, :, :] * v - s[None, :, :] * partner_gather(
-                v, shift, 1
-            )
+        d = jnp.sum(a * eye2[:, :, None], axis=1)             # [K, T]
+        o = jnp.sum(a * anti[:, :, None], axis=1)             # [K, T]
+        # symmetrize the pair's off value: A drifts from symmetry at
+        # the eps level, and once |a_pq| decays TO that level the two
+        # partners would otherwise compute structurally different
+        # rotations — a non-orthogonal G that corrupts eigenvalues by
+        # ~1e-5. One shared value keeps t_q == -t_p bitwise.
+        o = 0.5 * (o + _pairswap(o, 0, k))
+        dq = _pairswap(d, 0, k)
+        o_safe = jnp.where(jnp.abs(o) > eps, o, 1.0)
+        tau = (dq - d) / (2.0 * o_safe)
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        # tau == 0 (equal diagonal, nonzero off-diag): 45-degree
+        # rotation; sign(0) = 0 would stall convergence, and the
+        # override must stay antisymmetric between the partners
+        # (s_q = -s_p), so pick t by seat parity
+        t = jnp.where(tau == 0.0, jnp.where(even, 1.0, -1.0), t)
+        # exact reciprocal sqrt: Mosaic's rsqrt is the VPU fast
+        # approximation, whose per-rotation non-orthogonality (~1e-4)
+        # compounds over hundreds of accumulated rotations
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        # converged pairs rotate by the identity. The threshold freezes
+        # pairs whose off value is at the iteration's rounding floor
+        # (~k*eps of the local diagonal scale): in degenerate clusters
+        # such pairs otherwise rotate by noise-driven ~45-degree angles
+        # every sweep, which chaos-amplifies compiled-vs-interpret
+        # rounding differences and degrades the accumulated V's
+        # orthogonality ~100x. The odd-K pad seat's pair has o == 0
+        # exactly, so it freezes every round (its "bye").
+        tol = jnp.asarray(8 * k * jnp.finfo(dtype).eps, dtype) * (
+            jnp.abs(d) + jnp.abs(dq)
+        ) + eps
+        live = jnp.abs(o) > tol
+        c = jnp.where(live, c, 1.0)
+        s = jnp.where(live, s, 0.0)
+        a = c[:, None, :] * a - s[:, None, :] * _pairswap(a, 0, k)
+        a = c[None, :, :] * a - s[None, :, :] * _pairswap(a, 1, k)
+        v = c[None, :, :] * v - s[None, :, :] * _pairswap(v, 1, k)
+        # re-seat for the next round (composes to identity every K-1
+        # rounds, i.e. after every whole sweep)
+        a = _perm_round(a, 0, k)
+        a = _perm_round(a, 1, k)
+        v = _perm_round(v, 1, k)
         return a, v
 
-    a, v = jax.lax.fori_loop(0, sweeps, sweep_body, (a, v))
+    a, v = jax.lax.fori_loop(0, sweeps * (k - 1), round_body, (a, v))
     evals_ref[:] = jnp.sum(a * eye2[:, :, None], axis=1)[None]
     evecs_ref[:] = v[None]
 
@@ -155,8 +177,8 @@ def eigh_jacobi(
     Parameters
     ----------
     a : [..., K, K] symmetric matrices (any leading batch shape).
-    sweeps : full Jacobi sweeps (each = K parallel rounds covering every
-        pair once). 8 reaches working precision for K <= 64 on
+    sweeps : full Jacobi sweeps (each = K - 1 parallel rounds covering
+        every pair once). 8 reaches working precision for K <= 64 on
         well-conditioned Grams; quadratic convergence makes the last sweeps
         cheap insurance.
     tile : matrices per kernel program (lane dimension).
@@ -174,43 +196,54 @@ def eigh_jacobi(
     dtype = a.dtype
     b = int(np.prod(batch_shape)) if batch_shape else 1
     a2 = jnp.moveaxis(a.reshape(b, k, k), 0, -1)       # [K, K, B]
+    # The tournament pairing needs an even seat count: odd K gets one
+    # decoupled pad seat (zero off-diagonals) whose diagonal sits strictly
+    # above every real eigenvalue (Gershgorin), so its exact eigenpair
+    # always sorts last and is sliced off below.
+    kp = k + (k % 2)
+    if kp != k:
+        bound = 1.0 + jnp.max(jnp.sum(jnp.abs(a2), axis=1), axis=0)  # [B]
+        a2 = jnp.pad(a2, ((0, 1), (0, 1), (0, 0)))
+        a2 = a2.at[k, k, :].set(bound)
     n_tiles = -(-b // tile)
     pad = n_tiles * tile - b
     if pad:
         a2 = jnp.pad(a2, ((0, 0), (0, 0), (0, pad)))
 
     interp = _resolve_interpret(interpret)
-    kernel = functools.partial(
-        _jacobi_kernel, k=k, sweeps=sweeps, use_flip=interp
-    )
+    kernel = functools.partial(_jacobi_kernel, k=kp, sweeps=sweeps)
     evals, evecs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, k, k, tile), lambda i: (0, 0, 0, i),
+            pl.BlockSpec((1, kp, kp, tile), lambda i: (0, 0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, k, tile), lambda i: (0, 0, i),
+            pl.BlockSpec((1, kp, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, k, tile), lambda i: (0, 0, 0, i),
+            pl.BlockSpec((1, kp, kp, tile), lambda i: (0, 0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, k, n_tiles * tile), dtype),
-            jax.ShapeDtypeStruct((1, k, k, n_tiles * tile), dtype),
+            jax.ShapeDtypeStruct((1, kp, n_tiles * tile), dtype),
+            jax.ShapeDtypeStruct((1, kp, kp, n_tiles * tile), dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interp,
     )(a2[None])
-    evals = jnp.moveaxis(evals[0, :, :b], -1, 0)           # [B, K]
-    evecs = jnp.moveaxis(evecs[0, :, :, :b], -1, 0)        # [B, K, K]
-    # ascending eigenvalue order (the jnp.linalg.eigh convention)
+    evals = jnp.moveaxis(evals[0, :, :b], -1, 0)           # [B, KP]
+    evecs = jnp.moveaxis(evecs[0, :, :, :b], -1, 0)        # [B, KP, KP]
+    # ascending eigenvalue order (the jnp.linalg.eigh convention); the odd-K
+    # pad eigenpair is strictly largest, so [..., :k] drops exactly it (the
+    # pad seat's V row is identically zero in every kept column).
     order = jnp.argsort(evals, axis=-1)
     evals = jnp.take_along_axis(evals, order, axis=-1)
     evecs = jnp.take_along_axis(evecs, order[:, None, :], axis=-1)
+    evals = evals[:, :k]
+    evecs = evecs[:, :k, :k]
     return (
         evals.reshape(batch_shape + (k,)),
         evecs.reshape(batch_shape + (k, k)),

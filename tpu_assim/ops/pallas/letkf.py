@@ -368,7 +368,10 @@ def _cheb_solve_apply(nodes, dct_mat, zh, yh, sp, mean, reg,
     nb = zh.shape[0]
     ns = sp.shape[0]
 
-    # S[n, m, c] = sum_k zh[n, k, c] zh[m, k, c]  — nb sublane reductions
+    # S[n, m, c] = sum_k zh[n, k, c] zh[m, k, c]  — nb sublane reductions.
+    # (A single [nb, nb, k, T] broadcast-multiply + reduce would be ~30
+    # fewer ops, but Mosaic cannot relayout the 4-D broadcast: "Invalid
+    # relayout: non-singleton logical dimension is replicated".)
     s = jnp.stack(
         [jnp.sum(zh[n][None, :, :] * zh, axis=1) for n in range(nb)], axis=0
     )  # [nb, nb, T]
@@ -376,8 +379,11 @@ def _cheb_solve_apply(nodes, dct_mat, zh, yh, sp, mean, reg,
     # spectral upper bound per column (exact bound; 1.05 floor keeps the
     # affine map well-conditioned — columns with lam_max below the floor
     # only get a slightly wider, still-valid interval)
+    nb_iota = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    nb_iota_c = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    eye_nb = (nb_iota == nb_iota_c).astype(f32)[:, :, None]
     inf_norm = jnp.max(jnp.sum(jnp.abs(s), axis=1), axis=0)
-    trace = jnp.sum(jnp.stack([s[n, n] for n in range(nb)], axis=0), axis=0)
+    trace = jnp.sum(s * eye_nb, axis=(0, 1))
     lam_ub = 1.0 + jnp.minimum(inf_norm, trace) / reg
     lam_ub = jnp.maximum(lam_ub, 1.05)                       # [T]
 
@@ -401,13 +407,16 @@ def _cheb_solve_apply(nodes, dct_mat, zh, yh, sp, mean, reg,
         axis=1,
     )                                                        # [d+1, 1+ns, T]
 
-    # normalized operator: Xt = (2 X - (lam_ub + 1) I) / (lam_ub - 1)
-    a_sc = (2.0 / (lam_ub - 1.0))[None, :]                   # [1, T]
-    b_sc = (-(lam_ub + 1.0) / (lam_ub - 1.0))[None, :]
+    # normalized operator: Xt = (2 X - (lam_ub + 1) I) / (lam_ub - 1) with
+    # X = I + S/reg. The identity a_sc + b_sc == -1 (a_sc = 2/(lam_ub - 1),
+    # b_sc = -(lam_ub + 1)/(lam_ub - 1)) collapses the affine map to
+    # Xt v = (a_sc/reg) S v - v — two elementwise passes fewer per Clenshaw
+    # step on a per-op-latency-bound kernel.
+    a2_sc = (2.0 / (lam_ub - 1.0) / reg)[None, :]            # [1, T]
 
     def xt(vec):  # [1+ns, nb, T] -> [1+ns, nb, T]
         sv = jnp.sum(s[None] * vec[:, None, :, :], axis=2)   # S @ vec per op
-        return a_sc * (vec + sv / reg) + b_sc * vec
+        return a2_sc * sv - vec
 
     u = jnp.stack(
         [jnp.sum(zh * sp[i][None, :, :], axis=1) for i in range(ns)], axis=0
