@@ -73,6 +73,50 @@ class TestHaloLETKF:
         np.testing.assert_allclose(np.asarray(result), np.asarray(expected),
                                    **TOL)
 
+    def test_2d_mesh_over_named_axis(self, rng):
+        """A multi-axis mesh must shard over ``axis_name``'s extent only —
+        the ring permutation used to be built from the *total* device count
+        and indexed past the axis (latent wrong-answer bug, VERDICT r2 #5)."""
+        from jax.sharding import Mesh
+
+        state, obs_vals, obs_var, obs_idx, grid_coords, obs_coords = _workload(
+            rng
+        )
+        n_grid = state.shape[1]
+        loc = GaspariCohn((4.0,), _dist_fn)
+
+        dense = make_letkf_analysis(loc, inf_factor=1.1)
+        expected = dense(
+            jnp.asarray(state), jnp.asarray(obs_vals), jnp.asarray(obs_var),
+            jnp.asarray(obs_idx), jnp.asarray(grid_coords),
+            jnp.asarray(obs_coords),
+        )
+
+        devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+        mesh = Mesh(devices, ("grid", "aux"))
+        n_sh = 4  # the grid axis extent, NOT the 8 total devices
+        vals, var, lidx, coords, valid, _ = shard_observations(
+            obs_vals, obs_var, obs_idx, obs_coords, n_grid, n_sh
+        )
+        analyse = halo_letkf_analysis(
+            mesh, loc, max_obs=32,
+            halo_width=halo_width_for(4.0, n_grid / n_sh), inf_factor=1.1,
+        )
+        result = analyse(
+            jnp.asarray(state), jnp.asarray(vals), jnp.asarray(var),
+            jnp.asarray(lidx), jnp.asarray(coords), jnp.asarray(valid),
+            jnp.asarray(grid_coords),
+        )
+        np.testing.assert_allclose(np.asarray(result), np.asarray(expected),
+                                   **TOL)
+
+    def test_unknown_axis_name_raises(self):
+        loc = GaspariCohn((4.0,), _dist_fn)
+        mesh = make_grid_mesh(8)
+        with pytest.raises(ValueError, match="axis_name"):
+            halo_letkf_analysis(mesh, loc, max_obs=8, halo_width=1,
+                                axis_name="nope")
+
     def test_halo_width_bound(self):
         # cutoff 2r = 8, shard span 16 -> one neighbor is enough
         assert halo_width_for(4.0, 16.0) == 1

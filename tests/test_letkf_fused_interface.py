@@ -12,6 +12,7 @@ the Pallas kernels f32, so parity is asserted at f32 accuracy.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -201,20 +202,111 @@ class TestExactnessGuards:
     def test_clustered_obs_exact_via_required_obs_block(self, rng):
         """Direct (concrete) calls compute the exact per-tile block: the
         clustered workload that round 1 silently truncated now matches the
-        eigh path."""
+        eigh path. max_obs must cover the densest column's in-support count
+        (26 here) — round 2 ran this at 24 and was silently one-obs
+        truncated, which the strict guard now rejects
+        (test_max_obs_overflow_raises_concrete)."""
         from tpu_assim.analysis import make_letkf_analysis
+        from tpu_assim.ops.pallas.letkf import max_in_support_1d
 
         args = self._clustered_workload(rng)
         loc = GaspariCohn((8.0,), coord_dist)
+        worst = max_in_support_1d(
+            np.asarray(args[5])[:, 0], np.asarray(args[4])[:, 0], 8.0)
         exact = make_letkf_analysis(loc, 1.1, method="eigh")(*args)
         fused = make_letkf_analysis(loc, 1.1, method="fused1d",
-                                    max_obs=24, cheb_degree=24)(*args)
+                                    max_obs=worst, cheb_degree=24)(*args)
         rel = float(np.abs(np.asarray(fused) - np.asarray(exact)).max()
                     / np.abs(np.asarray(exact)).max())
         assert np.isfinite(np.asarray(fused)).all()
         # 2e-4: the f32 floor at this clustered conditioning (the same
         # value at degree 16 and 24); blocked-vs-full-table exactness is
         # asserted separately (test_required_obs_block_covers_kernel_windows)
+        assert rel < 2e-4, rel
+
+    def test_max_obs_overflow_raises_concrete(self, rng):
+        """A clustered workload with too-small max_obs fails loudly on the
+        concrete path instead of returning a plausible wrong analysis
+        (VERDICT r2 #3)."""
+        from tpu_assim.analysis import make_letkf_analysis
+
+        args = self._clustered_workload(rng)
+        loc = GaspariCohn((8.0,), coord_dist)
+        fn = make_letkf_analysis(loc, 1.1, method="fused1d", max_obs=24,
+                                 cheb_degree=24)
+        with pytest.raises(ValueError, match="in-support"):
+            fn(*args)
+
+    def test_max_obs_overflow_poisons_traced(self, rng):
+        """The same overflow under an outer jit (traced coords, explicit
+        obs_block) NaN-poisons exactly the overflowing columns."""
+        from tpu_assim.ops.pallas.letkf import (
+            letkf_window_analysis_fused, required_obs_block)
+
+        args = self._clustered_workload(rng)
+        state, obs_vals, obs_var, obs_idx, grid_coords, obs_coords = args
+        k = state.shape[0]
+        perts = state[:, obs_idx] - state[:, obs_idx].mean(0)
+        innov = obs_vals - state[:, obs_idx].mean(0)
+        mean = state.mean(0)
+        sp = state - mean
+        blk = required_obs_block(
+            np.asarray(obs_coords)[:, 0], np.asarray(grid_coords)[:, 0],
+            24, radius=8.0)
+        out = jax.jit(lambda *a: letkf_window_analysis_fused(
+            *a, 8.0, k, nb=24, obs_block=int(blk), interpret=True))(
+            perts, innov, obs_coords[:, 0], grid_coords[:, 0], sp, mean,
+            jnp.asarray((k - 1) / 1.1, jnp.float32))
+        out = np.asarray(out)
+        assert np.isnan(out).any(), "overflowing columns must poison"
+        assert np.isfinite(out[:, 300:]).all(), "obs-free columns stay clean"
+
+    def test_max_obs_strict_false_truncates_finite(self, rng):
+        """strict=False restores the bounded-truncation behavior: finite
+        output, close to (but not exactly) the eigh analysis."""
+        from tpu_assim.analysis import make_letkf_analysis
+
+        args = self._clustered_workload(rng)
+        loc = GaspariCohn((8.0,), coord_dist)
+        fused = make_letkf_analysis(loc, 1.1, method="fused1d", max_obs=24,
+                                    cheb_degree=24,
+                                    max_obs_strict=False)(*args)
+        assert np.isfinite(np.asarray(fused)).all()
+        exact = make_letkf_analysis(loc, 1.1, method="eigh")(*args)
+        rel = float(np.abs(np.asarray(fused) - np.asarray(exact)).max()
+                    / np.abs(np.asarray(exact)).max())
+        assert rel < 5e-3, rel  # truncation error, not garbage
+
+    def test_asymmetric_support_window_clamps_exact(self, rng):
+        """A column whose in-support obs sit almost all on one side: the
+        rank-centered window alone would truncate even though the total
+        fits; the support clamp keeps it exact (matches eigh)."""
+        from tpu_assim.analysis import make_letkf_analysis
+
+        g = 256
+        state = rng.randn(8, g)
+        # 12 obs packed just left of x=100, 2 just right; radius 4 =>
+        # support (92, 108); nb=16 holds all 14, but center-rank windows
+        # at columns right of the cluster shift right and would drop the
+        # leftmost obs without the clamp
+        obs_x = np.sort(np.concatenate([
+            rng.uniform(93.0, 99.5, size=12), rng.uniform(100.5, 103.0, 2),
+            rng.uniform(150.0, 250.0, size=30),
+        ]))
+        obs_idx = np.clip(np.rint(obs_x), 0, g - 1).astype("i4")
+        obs_vals = rng.randn(obs_x.size)
+        obs_var = np.ones(obs_x.size)
+        grid_coords = np.arange(g, dtype=np.float64)[:, None]
+        args = tuple(jnp.asarray(a) for a in (
+            state, obs_vals, obs_var, obs_idx, grid_coords,
+            obs_x[:, None]))
+        loc = GaspariCohn((4.0,), coord_dist)
+        exact = make_letkf_analysis(loc, 1.1, method="eigh")(*args)
+        fused = make_letkf_analysis(loc, 1.1, method="fused1d", max_obs=16,
+                                    cheb_degree=24)(*args)
+        assert np.isfinite(np.asarray(fused)).all()
+        rel = float(np.abs(np.asarray(fused) - np.asarray(exact)).max()
+                    / np.abs(np.asarray(exact)).max())
         assert rel < 2e-4, rel
 
     def test_overflowing_block_poisons_not_silent(self, rng):
@@ -342,6 +434,100 @@ class TestCorrelatedRFastPaths:
         diag = fn(*map(jnp.asarray, (state, obs_vals, np.diag(cov), obs_idx,
                                      gc_, oc_)))
         assert not np.allclose(np.asarray(full), np.asarray(diag),
+                               atol=1e-6)
+
+
+class TestFused3DLocalization:
+    """>= 3-D localization through the fused 2-D kernel (VERDICT r2 #5):
+    coordinate dims beyond (x, y) — the COSMO (rlat, rlon, vgrid) case —
+    contribute product taper factors; band/window selection stays on
+    (y, x). Parity vs the eigh path at f32 accuracy."""
+
+    def _workload_3d(self, rng, nx=8, ny=8, nz=4, o=48, ens=8):
+        g = nx * ny * nz
+        zz, yy, xx = np.meshgrid(np.arange(nz, dtype="f8"),
+                                 np.arange(ny, dtype="f8"),
+                                 np.arange(nx, dtype="f8"), indexing="ij")
+        grid_xyz = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], 1)
+        state = rng.normal(size=(ens, g))
+        obs_pos = rng.choice(g, size=o, replace=False)
+        obs_xyz = grid_xyz[obs_pos] + rng.uniform(-0.3, 0.3, size=(o, 3))
+        obs_vals = rng.normal(size=o)
+        obs_var = rng.uniform(0.5, 1.5, size=o)
+        return (state, obs_vals, obs_var, obs_pos.astype("i4"), grid_xyz,
+                obs_xyz)
+
+    @staticmethod
+    def _dist3(gc, oi):
+        return jnp.stack([jnp.abs(oi[:, 1] - gc[1]),
+                          jnp.abs(oi[:, 2] - gc[2]),
+                          jnp.abs(oi[:, 3] - gc[3])], 0)
+
+    def test_fused2d_3coords_matches_eigh(self, rng):
+        from tpu_assim.analysis import make_letkf_analysis
+
+        w = self._workload_3d(rng)
+        loc = GaspariCohn((2.5, 2.5, 1.5), self._dist3)
+        args = tuple(jnp.asarray(a) for a in w)
+        exact = make_letkf_analysis(loc, 1.1, method="eigh")(*args)
+        fused = make_letkf_analysis(loc, 1.1, method="fused2d",
+                                    max_obs=48, cheb_degree=20)(*args)
+        a = np.asarray(fused)
+        b = np.asarray(exact)
+        assert np.isfinite(a).all()
+        rel = float(np.abs(a - b).max() / np.abs(b).max())
+        assert rel < 2e-4, rel
+
+    def test_fused2d_3coords_class_api(self, rng):
+        """The class API routes 3-coordinate states through the extended
+        kernel (the COSMO (rlat, rlon, vgrid) shape)."""
+        w = self._workload_3d(rng)
+        state, obs_vals, obs_var, obs_idx, grid_xyz, obs_xyz = w
+        ens, g = state.shape
+        st = EnsembleState(
+            jnp.asarray(state[None, None]),
+            times=jnp.arange(1, dtype=jnp.float64),
+            grid_coords=jnp.asarray(grid_xyz),
+            var_names=("x",),
+        )
+        obs_idx_np = np.asarray(obs_idx)
+
+        def operator(obs, pseudo_state):
+            return pseudo_state.data[0][:, :, obs_idx_np]
+
+        obs = Observation(
+            jnp.asarray(obs_vals[None, :]),
+            covariance=jnp.asarray(obs_var),
+            obs_coords=jnp.asarray(obs_xyz),
+            times=st.times,
+            operator=operator,
+        )
+        loc = GaspariCohn((2.5, 2.5, 1.5), self._dist3)
+        exact = LETKF(localization=loc, inf_factor=1.1, max_obs=48,
+                      method="eigh", chunksize=None).assimilate(st, obs)
+        fused = LETKF(localization=loc, inf_factor=1.1, max_obs=48,
+                      method="fused2d",
+                      chunksize=None).assimilate(st, obs)
+        a = np.asarray(fused.data, np.float64)
+        b = np.asarray(exact.data, np.float64)
+        assert np.isfinite(a).all()
+        np.testing.assert_allclose(a, b, atol=5e-4 * np.abs(b).max(),
+                                   rtol=0)
+
+    def test_fused2d_3coords_vertical_radius_matters(self, rng):
+        """The vertical taper factor is actually applied: shrinking the
+        z-radius changes the analysis (no silent 2-D fallback)."""
+        from tpu_assim.analysis import make_letkf_analysis
+
+        w = self._workload_3d(rng)
+        args = tuple(jnp.asarray(a) for a in w)
+        wide = make_letkf_analysis(
+            GaspariCohn((2.5, 2.5, 50.0), self._dist3), 1.1,
+            method="fused2d", max_obs=48, cheb_degree=20)(*args)
+        narrow = make_letkf_analysis(
+            GaspariCohn((2.5, 2.5, 0.5), self._dist3), 1.1,
+            method="fused2d", max_obs=48, cheb_degree=20)(*args)
+        assert not np.allclose(np.asarray(wide), np.asarray(narrow),
                                atol=1e-6)
 
 

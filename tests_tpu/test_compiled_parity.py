@@ -113,25 +113,173 @@ class TestCompiledVsInterpret:
                                    rtol=2e-5, atol=2e-5)
 
 
-class TestJacobiCompiled:
+class TestClassApiCompiled:
+    """End-to-end LETKF.assimilate() on the chip: the fused monolithic
+    kernels through the full class API (state/obs plumbing + host-side
+    guards + Pallas compiled) against the eigh path, plus a compiled VJP
+    smoke for the custom-backward kernels (VERDICT r2 #7)."""
+
+    def _state_obs(self, rng, n_grid=512, n_obs=96, n_ens=10):
+        from tpu_assim import EnsembleState, Observation
+
+        data = rng.randn(2, 1, n_ens, n_grid).astype("f4")
+        state = EnsembleState(
+            jnp.asarray(data),
+            times=jnp.arange(1, dtype=jnp.float32),
+            grid_coords=jnp.arange(n_grid, dtype=jnp.float32)[:, None],
+            var_names=("x", "y"),
+        )
+        obs_idx = np.sort(rng.choice(n_grid, size=n_obs, replace=False))
+        # data[0][:, :, obs_idx]: [time=1, ens, obs] -> ens-mean [1, obs]
+        vals = np.asarray(data[0][:, :, obs_idx].mean(1)) \
+            + rng.randn(1, n_obs).astype("f4")
+
+        def operator(obs, pseudo_state):
+            return pseudo_state.data[0][:, :, obs_idx]
+
+        obs = Observation(
+            jnp.asarray(vals.astype("f4")),
+            covariance=jnp.full((n_obs,), 0.5, jnp.float32),
+            obs_coords=state.grid_coords[obs_idx],
+            times=state.times,
+            operator=operator,
+        )
+        return state, obs
+
     @if_tpu_decorator
-    def test_jacobi_compiled_vs_interpret(self, rng):
+    @pytest.mark.parametrize("method", ["cheb", "fused1d"])
+    def test_fused_assimilate_matches_eigh_on_chip(self, rng, method):
+        from tpu_assim import LETKF
+        from tpu_assim.ops.localization import GaspariCohn
+
+        def dist(gc, oi):
+            return jnp.abs(oi[:, 1] - gc[1])[None, :]
+
+        loc = GaspariCohn((8.0,), dist)
+        state, obs = self._state_obs(rng)
+        exact = LETKF(localization=loc, inf_factor=1.1, max_obs=40,
+                      method="eigh", chunksize=None).assimilate(state, obs)
+        fused = LETKF(localization=loc, inf_factor=1.1, max_obs=40,
+                      method=method, chunksize=None).assimilate(state, obs)
+        a = np.asarray(fused.data, np.float64)
+        b = np.asarray(exact.data, np.float64)
+        assert np.isfinite(a).all()
+        np.testing.assert_allclose(a, b, atol=5e-3 * np.abs(b).max(),
+                                   rtol=0)
+
+    @if_tpu_decorator
+    def test_window_kernel_compiled_vjp(self, rng):
+        """Compiled forward + plain-XLA custom backward on the chip:
+        d(analysis)/d(inf rho) through the monolithic window kernel is
+        finite and matches the interpret-mode gradient."""
+        from tpu_assim.ops.pallas.letkf import letkf_window_analysis_fused
+
+        k, g, o = 8, 256, 48
+        state = rng.randn(k, g).astype("f4")
+        obs_x = np.sort(rng.uniform(0, g, size=o)).astype("f4")
+        perts = (rng.randn(k, o) * 0.5).astype("f4")
+        innov = rng.randn(o).astype("f4")
+        mean = state.mean(0)
+        sp = state - mean
+
+        def loss(rho, interpret):
+            reg = ((k - 1) / rho).astype(jnp.float32)
+            out = letkf_window_analysis_fused(
+                jnp.asarray(perts), jnp.asarray(innov), jnp.asarray(obs_x),
+                jnp.arange(g, dtype=jnp.float32), jnp.asarray(sp),
+                jnp.asarray(mean), reg, 8.0, k, nb=24, degree=12,
+                interpret=interpret)
+            return jnp.sum(out ** 2)
+
+        g_c = jax.grad(lambda r: loss(r, False))(jnp.float32(1.1))
+        g_i = jax.grad(lambda r: loss(r, True))(jnp.float32(1.1))
+        assert np.isfinite(float(g_c))
+        np.testing.assert_allclose(float(g_c), float(g_i), rtol=2e-3)
+
+
+class TestRdmaCompiledSmoke:
+    """COMPILE the Pallas RDMA halo kernel for the real chip. The CPU
+    suite and the dryrun cover it only in interpret mode, where the
+    barrier-semaphore rendezvous and the remote DMAs are explicitly gated
+    off (parallel/halo.py) — a Mosaic lowering regression would ship
+    undetected without this (this smoke caught the unaligned-slice
+    dma_start failure: remote-DMA destinations must be (8, 128)-tile
+    aligned, fixed by padding in _ring_halo_rdma). Compile-only: actually
+    RUNNING a collective launch on one chip wedges the TPU waiting for
+    its launch-barrier peers (observed 2026-08-20 — a killed client does
+    not unwedge it), and multi-chip execution parity belongs on real
+    multi-chip hardware."""
+
+    @if_tpu_decorator
+    def test_ring_halo_rdma_mosaic_lowering(self, rng, monkeypatch):
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        import tpu_assim.parallel.halo as hal
+
+        monkeypatch.setattr(hal, "_halo_offsets", lambda n, h: [0])
+        mesh = Mesh(np.array(jax.devices()[:1]), ("grid",))
+        # deliberately tile-UNALIGNED [rows, o_ps] — the regression shape
+        packed = jnp.asarray(rng.randn(8, 16).astype("f4"))
+        fn = jax.jit(jax.shard_map(
+            lambda p: hal._ring_halo_rdma(p, "grid", 1, 1,
+                                          interpret=False),
+            mesh=mesh, in_specs=P(None, "grid"),
+            out_specs=P(None, "grid"), check_vma=False))
+        compiled = fn.lower(packed).compile()  # Mosaic lowering must pass
+        assert compiled is not None
+
+
+class TestJacobiCompiled:
+    """The Brent-Luk fori_loop kernel is the DEFAULT TPU eigh dispatch
+    (ops/linalg.py:eigh_psd). Measured on v5e 2026-08-20
+    (scripts/validate_jacobi.py): compile 12.8 s at [10^4, 40, 40] f32,
+    eigenvector orthogonality ~1e-5 compiled (incl. a 24-fold degenerate
+    cluster), reconstruction at the f32 floor, 3.2x vs XLA eigh."""
+
+    @if_tpu_decorator
+    def test_jacobi_compiled_degenerate_cluster(self, rng):
         from tpu_assim.ops.pallas.jacobi import eigh_jacobi
 
-        k, b = 40, 512
+        k, b, cluster = 40, 512, 24
+        # rank-16 Gram + 4.33 I: a 24-fold degenerate eigenvalue at 4.33
         z = rng.randn(b, k, 16).astype("f4")
+        a64 = np.einsum("bki,bmi->bkm", z.astype("f8"), z.astype("f8"))
+        a64 += np.eye(k) * 4.33
+        a = jnp.asarray(a64, jnp.float32)
+        ev_c, vec_c = eigh_jacobi(a, interpret=False)
+        scale = float(np.abs(a64).max())
+        # against the f64 oracle, not interpret mode
+        ev_ref = np.linalg.eigvalsh(a64)
+        assert float(jnp.abs(ev_c - ev_ref).max()) < 1e-4 * scale
+        vec = np.asarray(vec_c, np.float64)
+        rec = np.einsum("bik,bk,bjk->bij", vec, np.asarray(ev_c, "f8"), vec)
+        assert np.abs(rec - a64).max() < 5e-4 * scale
+        orth = np.einsum("bki,bkj->bij", vec, vec)
+        assert np.abs(orth - np.eye(k)).max() < 2e-5
+
+    @if_tpu_decorator
+    def test_eigh_psd_dispatches_to_jacobi(self, rng, monkeypatch):
+        """eigh_psd on TPU routes large f32 batches to the Pallas kernel by
+        default and falls back to XLA with TPU_ASSIM_JACOBI=0."""
+        import tpu_assim.ops.pallas.jacobi as jac
+        from tpu_assim.ops import linalg
+
+        calls = []
+        orig = jac.eigh_jacobi
+        monkeypatch.setattr(
+            jac, "eigh_jacobi",
+            lambda *a, **kw: calls.append(1) or orig(*a, **kw),
+        )
+        z = rng.randn(512, 40, 16).astype("f4")
         a = jnp.asarray(np.einsum("bki,bmi->bkm", z, z)
-                        + np.eye(k, dtype="f4") * 4.33)
-        ev_c, vec_c = eigh_jacobi(a, sweeps=8, interpret=False)
-        ev_i, vec_i = eigh_jacobi(a, sweeps=8, interpret=True)
-        # f32 accuracy is relative to the matrix scale. This workload has
-        # a 24-fold degenerate eigenvalue: eigenvalues hold at ~2e-5 of
-        # scale, but compiled eigenvector orthogonality degrades to ~1e-3
-        # inside the degenerate cluster (noise-driven rotations; the
-        # documented reason the Jacobi dispatch is opt-in, docs/solvers.md)
-        scale = float(jnp.abs(a).max())
-        assert float(jnp.abs(ev_c - ev_i).max()) < 1e-4 * scale
-        rec_c = jnp.einsum("bik,bk,bjk->bij", vec_c, ev_c, vec_c)
-        assert float(jnp.abs(rec_c - a).max()) < 1e-2 * scale
-        orth = jnp.einsum("bki,bkj->bij", vec_c, vec_c)
-        assert float(jnp.abs(orth - jnp.eye(k, dtype=a.dtype)).max()) < 1e-2
+                        + np.eye(40, dtype="f4"))
+        w, v = linalg.eigh_psd(a)
+        assert calls, "default TPU dispatch must use the Jacobi kernel"
+        w_ref = np.linalg.eigvalsh(np.asarray(a, "f8"))
+        assert np.abs(np.asarray(w, "f8") - w_ref).max() < 1e-4 * float(
+            np.abs(w_ref).max()
+        )
+        monkeypatch.setenv("TPU_ASSIM_JACOBI", "0")
+        calls.clear()
+        linalg.eigh_psd(a)
+        assert not calls

@@ -57,6 +57,19 @@ def _normalized_obs_space(ens_obs, obs_vals, obs_var):
     return perts, innov
 
 
+def _raise_if_overflow(worst: int, max_obs: int) -> None:
+    """Loud failure for the window kernels' exactness condition (VERDICT r2
+    #3; reference exactness contract: wrapper.py:91-97)."""
+    if worst > max_obs:
+        raise ValueError(
+            f"a grid column has {worst} in-support (nonzero-taper) "
+            f"observations but max_obs={max_obs}: the window selection "
+            f"would truncate. Raise max_obs to >= {worst} or pass "
+            "max_obs_strict=False to accept truncation to the nearest "
+            "observations."
+        )
+
+
 def make_letkf_analysis(
     localization,
     inf_factor: float = 1.0,
@@ -68,6 +81,7 @@ def make_letkf_analysis(
     cheb_degree: int = 16,
     selection: str = "topk",
     obs_block: Optional[int] = None,
+    max_obs_strict: bool = True,
 ):
     """Build a jitted single-cycle LETKF analysis.
 
@@ -108,6 +122,11 @@ def make_letkf_analysis(
         the returned function is fully traceable (usable inside an outer
         jit, e.g. a cycled scan) — otherwise the block is computed
         host-side from concrete coordinates at call time.
+    max_obs_strict : enforce the exactness condition of the fixed-size
+        window selections loudly — concrete callers raise, traced callers
+        NaN-poison, whenever a column has more in-support obs than
+        ``max_obs``. False accepts truncation to the nearest
+        (see :class:`tpu_assim.interface.LETKF`).
 
     Returns
     -------
@@ -128,7 +147,8 @@ def make_letkf_analysis(
             # exact for sorted 1-D obs coordinates (see
             # neighborhood_select_window); O(g*nb) instead of O(g*o)+top_k
             return neighborhood_select_window(
-                localization, grid_info, obs_info, max_obs
+                localization, grid_info, obs_info, max_obs,
+                strict=max_obs_strict,
             )
         return neighborhood_select(localization, grid_info, obs_info, max_obs)
 
@@ -188,6 +208,7 @@ def make_letkf_analysis(
                 mean, reg, float(radius_arr[0]), k,
                 nb=max_obs, degree=cheb_degree, obs_block=obs_block,
                 taper=taper, epsilon=float(localization.epsilon),
+                strict=max_obs_strict,
             )
 
         if method == "fused2d" and localization is not None and (
@@ -201,10 +222,15 @@ def make_letkf_analysis(
                 letkf_window_analysis_fused_2d,
             )
 
+            n_dims = min(obs_coords.shape[1], grid_coords.shape[1])
             radii = np.atleast_1d(np.asarray(localization.radius,
                                              dtype=float))
             rx = float(radii[0])
-            ry = float(radii[1] if radii.size > 1 else radii[0])
+            ry = float(radii[1] if radii.size > 1 else radii[-1])
+            extra = tuple(
+                float(radii[j] if j < radii.size else radii[-1])
+                for j in range(2, n_dims)
+            )
             taper = (
                 "gcinf" if isinstance(localization, GaspariCohnInf)
                 else "gc2"
@@ -214,10 +240,12 @@ def make_letkf_analysis(
             mean = jnp.mean(state_data, axis=0)
             sp = state_data - mean[None, :]
             return letkf_window_analysis_fused_2d(
-                perts, innov, obs_coords[:, :2], grid_coords[:, :2], sp,
+                perts, innov, obs_coords[:, :n_dims],
+                grid_coords[:, :n_dims], sp,
                 mean, reg, rx, ry, k, obs_block=obs_block,
                 nb=max_obs, degree=cheb_degree, taper=taper,
                 epsilon=float(localization.epsilon),
+                strict=max_obs_strict, extra_radii=extra,
             )
 
         if method == "cheb" and localization is not None and (
@@ -337,10 +365,21 @@ def make_letkf_analysis(
         if obs_block is not None:
             return _impl_jit(state_data, obs_vals, obs_var, obs_idx,
                              grid_coords, obs_coords, blk)
+        if method in ("fused1d", "fused2d") and localization is not None:
+            from tpu_assim.ops.localization import GaspariCohnInf
+
+            taper_name = (
+                "gcinf" if isinstance(localization, GaspariCohnInf)
+                else "gc2"
+            )
+            eps = float(localization.epsilon)
         if method == "fused1d" and localization is not None and (
             max_obs is not None
         ) and concrete:
-            from tpu_assim.ops.pallas.letkf import required_obs_block
+            from tpu_assim.ops.pallas.letkf import (
+                max_in_support_1d,
+                required_obs_block,
+            )
 
             ox = np.asarray(obs_coords)[:, 0]
             if ox.shape[0] > 1 and np.any(ox[1:] < ox[:-1]):
@@ -348,9 +387,19 @@ def make_letkf_analysis(
                     "method='fused1d' needs obs coordinates sorted "
                     "ascending along dimension 0"
                 )
-            blk = required_obs_block(
-                ox, np.asarray(grid_coords)[:, 0], max_obs
+            radius = float(
+                np.atleast_1d(np.asarray(localization.radius, float))[0]
             )
+            blk = required_obs_block(
+                ox, np.asarray(grid_coords)[:, 0], max_obs,
+                radius=radius, taper=taper_name, epsilon=eps,
+            )
+            if max_obs_strict:
+                worst = max_in_support_1d(
+                    ox, np.asarray(grid_coords)[:, 0], radius,
+                    taper=taper_name, epsilon=eps,
+                )
+                _raise_if_overflow(worst, max_obs)
         if method == "fused2d" and localization is not None and (
             max_obs is not None
         ):
@@ -361,15 +410,26 @@ def make_letkf_analysis(
                     "make_letkf_analysis(..., obs_block="
                     "required_obs_block_2d(...))"
                 )
-            from tpu_assim.ops.pallas.letkf import required_obs_block_2d
+            from tpu_assim.ops.pallas.letkf import (
+                max_in_support_2d,
+                required_obs_block_2d,
+            )
 
             radii = np.atleast_1d(np.asarray(localization.radius,
                                              dtype=float))
+            rx = float(radii[0])
             ry = float(radii[1] if radii.size > 1 else radii[0])
             blk = required_obs_block_2d(
                 np.asarray(obs_coords)[:, 1], np.asarray(grid_coords)[:, 1],
                 ry,
             )
+            if max_obs_strict:
+                worst = max_in_support_2d(
+                    np.asarray(obs_coords)[:, :2],
+                    np.asarray(grid_coords)[:, :2], rx, ry,
+                    taper=taper_name, epsilon=eps,
+                )
+                _raise_if_overflow(worst, max_obs)
         return _impl_jit(state_data, obs_vals, obs_var, obs_idx,
                          grid_coords, obs_coords, blk)
 

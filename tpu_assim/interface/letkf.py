@@ -35,9 +35,10 @@ __all__ = ["LETKF"]
 logger = logging.getLogger(__name__)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _letkf_solve(
     localization, chunksize, max_obs, selection, method, newton_iters,
+    strict,
     ens_obs_perts, innovations, grid_info, obs_info, inf_factor,
 ):
     """Jitted localized solve; localization/chunksize/max_obs/selection/
@@ -55,7 +56,8 @@ def _letkf_solve(
             # nonzero-taper obs than max_obs; ops/localization.py)
             if selection == "window":
                 idx, w_nbh = neighborhood_select_window(
-                    localization, grid_chunk, obs_info, max_obs
+                    localization, grid_chunk, obs_info, max_obs,
+                    strict=strict,
                 )
             else:
                 idx, w_nbh = neighborhood_select(
@@ -83,10 +85,10 @@ def _letkf_solve(
     return map_grid_chunked(chunk_fn, grid_info, chunksize)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
 def _letkf_fused_analysis(
     localization, chunksize, max_obs, selection, method, cheb_degree,
-    obs_block, taper,
+    obs_block, taper, strict,
     ens_obs_perts, innovations, grid_info, obs_info, inf_factor, data,
 ):
     """Fused solve+apply: the full [v, t, k, g] analysis WITHOUT
@@ -122,33 +124,43 @@ def _letkf_fused_analysis(
             sp, mean, reg, radius, k,
             nb=max_obs, degree=cheb_degree, obs_block=obs_block,
             taper=taper, epsilon=float(localization.epsilon),
+            strict=strict,
         )
         return out.reshape(v, t, k, g).astype(data.dtype)
 
     if method == "fused2d":
         # monolithic 2-D window kernel: per-dimension radii multiplied
-        # (reference gaspari_cohn.py:124-134); obs sorted internally
+        # (reference gaspari_cohn.py:124-134); obs sorted internally.
+        # Coordinate dims beyond (x, y) — e.g. the COSMO vertical — ride
+        # along as extra product taper factors (band/window stay on y/x).
         import numpy as np
 
         from tpu_assim.ops.pallas.letkf import (
             letkf_window_analysis_fused_2d,
         )
 
+        n_dims = min(grid_info.shape[1], obs_info.shape[1]) - 1
         radii = np.atleast_1d(np.asarray(localization.radius, dtype=float))
         rx = float(radii[0])
-        ry = float(radii[1] if radii.size > 1 else radii[0])
+        ry = float(radii[1] if radii.size > 1 else radii[-1])
+        extra = tuple(
+            float(radii[j] if j < radii.size else radii[-1])
+            for j in range(2, n_dims)
+        )
         out = letkf_window_analysis_fused_2d(
-            ens_obs_perts, innovations, obs_info[:, 1:3], grid_info[:, 1:3],
+            ens_obs_perts, innovations, obs_info[:, 1:1 + n_dims],
+            grid_info[:, 1:1 + n_dims],
             sp, mean, reg, rx, ry, k, obs_block=obs_block,
             nb=max_obs, degree=cheb_degree, taper=taper,
-            epsilon=float(localization.epsilon),
+            epsilon=float(localization.epsilon), strict=strict,
+            extra_radii=extra,
         )
         return out.reshape(v, t, k, g).astype(data.dtype)
 
     def cheb_chunk(gi_chunk, sp_chunk, mean_chunk):
         if selection == "window":
             idx, w_nbh = neighborhood_select_window(
-                localization, gi_chunk, obs_info, max_obs
+                localization, gi_chunk, obs_info, max_obs, strict=strict
             )
         else:
             idx, w_nbh = neighborhood_select(
@@ -205,6 +217,14 @@ class LETKF(DomainLocalizedMixin, ETKF):
         window kernel (selection + taper + gather + solve + apply in one
         pallas_call; needs sorted 1-D obs coords and single-radius
         GaspariCohn).
+    max_obs_strict : with the fused window paths (and window selection),
+        raise / NaN-poison when any grid column has more in-support
+        (nonzero-taper) observations than ``max_obs`` — the condition under
+        which the fixed-size selection is EXACT. Default True (loud, never
+        silently approximate). Set False to accept truncation to the
+        nearest ``max_obs`` observations (the standard LETKF practice for
+        bounding local obs counts; reference wrapper.py:91-97 masks
+        ragged subsets instead).
     cheb_degree : Chebyshev degree for the fused paths. None (default) =
         auto: each ``assimilate()`` call measures a per-column spectral
         bound on the obs-space operator and picks the smallest degree whose
@@ -230,6 +250,7 @@ class LETKF(DomainLocalizedMixin, ETKF):
         method: str = "eigh",
         newton_iters: int = 25,
         cheb_degree: Optional[int] = None,
+        max_obs_strict: bool = True,
     ):
         super().__init__(
             inf_factor=inf_factor,
@@ -246,6 +267,7 @@ class LETKF(DomainLocalizedMixin, ETKF):
         self.method = method
         self.newton_iters = newton_iters
         self.cheb_degree = cheb_degree
+        self.max_obs_strict = max_obs_strict
         if method in ("cheb", "fused1d", "fused2d"):
             if localization is None or max_obs is None:
                 raise ValueError(
@@ -277,13 +299,12 @@ class LETKF(DomainLocalizedMixin, ETKF):
             radius = np.atleast_1d(
                 np.asarray(getattr(localization, "radius", None))
             )
-            max_dims = 1 if method == "fused1d" else 2
-            if radius.size > max_dims or radius[0] is None:
+            if radius[0] is None or (method == "fused1d"
+                                     and radius.size > 1):
                 raise ValueError(
-                    "method={0!r} supports at most {1} localization "
-                    "radius dimension(s); got {2}".format(
-                        method, max_dims, radius
-                    )
+                    "method={0!r} needs a single-radius localization for "
+                    "1-D windows (fused2d takes any number of per-dim "
+                    "radii); got {1}".format(method, radius)
                 )
 
     def __str__(self):
@@ -319,6 +340,7 @@ class LETKF(DomainLocalizedMixin, ETKF):
             self.selection,
             method,
             self.newton_iters,
+            self.max_obs_strict,
             ens_obs_perts,
             innovations,
             grid_info,
@@ -366,6 +388,20 @@ class LETKF(DomainLocalizedMixin, ETKF):
             tr_max = float(jnp.max(tr))
         return cheb_degree_for(1.0 + tr_max / reg)
 
+    def _check_max_obs(self, worst: int) -> None:
+        """Raise when a column's in-support obs count exceeds ``max_obs``
+        (the fixed-size window selection would silently truncate — VERDICT
+        r2 #3; reference exactness contract: wrapper.py:91-97, ragged
+        subsets are exact)."""
+        if worst > self.max_obs:
+            raise ValueError(
+                f"a grid column has {worst} in-support (nonzero-taper) "
+                f"observations but max_obs={self.max_obs}: the window "
+                f"selection would truncate. Raise max_obs to >= {worst}, "
+                "widen the kernel budget, or pass max_obs_strict=False to "
+                "accept truncation to the nearest observations."
+            )
+
     def _estimate_and_apply(
         self,
         state: EnsembleState,
@@ -394,6 +430,8 @@ class LETKF(DomainLocalizedMixin, ETKF):
 
         from tpu_assim.ops.localization import GaspariCohnInf
         from tpu_assim.ops.pallas.letkf import (
+            max_in_support_1d,
+            max_in_support_2d,
             required_obs_block,
             required_obs_block_2d,
         )
@@ -424,11 +462,21 @@ class LETKF(DomainLocalizedMixin, ETKF):
             radii = np.atleast_1d(
                 np.asarray(self.localization.radius, dtype=float)
             )
+            rx = float(radii[0])
             ry = float(radii[1] if radii.size > 1 else radii[0])
             obs_block = required_obs_block_2d(
                 np.asarray(obs_info[:, 2]), np.asarray(grid_info[:, 2]), ry
             )
+            if self.max_obs_strict:
+                self._check_max_obs(max_in_support_2d(
+                    np.asarray(obs_info[:, 1:3]),
+                    np.asarray(grid_info[:, 1:3]), rx, ry, taper=taper,
+                    epsilon=float(self.localization.epsilon),
+                ))
         if self.method == "fused1d":
+            radius = float(np.atleast_1d(
+                np.asarray(self.localization.radius, dtype=float)
+            )[0])
             obs_x = np.asarray(obs_info[:, 1])
             if obs_x.shape[0] > 1 and np.any(obs_x[1:] < obs_x[:-1]):
                 # smoother-mode stacks repeat the spatial coordinates per
@@ -440,8 +488,15 @@ class LETKF(DomainLocalizedMixin, ETKF):
                 obs_info = obs_info[order]
                 obs_x = obs_x[np.asarray(order)]
             obs_block = required_obs_block(
-                obs_x, np.asarray(grid_info[:, 1]), self.max_obs
+                obs_x, np.asarray(grid_info[:, 1]), self.max_obs,
+                radius=radius, taper=taper,
+                epsilon=float(self.localization.epsilon),
             )
+            if self.max_obs_strict:
+                self._check_max_obs(max_in_support_1d(
+                    obs_x, np.asarray(grid_info[:, 1]), radius, taper=taper,
+                    epsilon=float(self.localization.epsilon),
+                ))
         degree = self.cheb_degree
         if degree is None:
             degree = self._auto_cheb_degree(
@@ -458,6 +513,7 @@ class LETKF(DomainLocalizedMixin, ETKF):
             degree,
             obs_block,
             taper,
+            self.max_obs_strict,
             ens_obs_perts,
             innovations,
             grid_info,

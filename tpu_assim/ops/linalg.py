@@ -108,15 +108,17 @@ def eigh_psd(tensor: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     eigenvector columns — the reference's ``torch.symeig(..., upper=False)``,
     pytassim/core/utils.py:57).
 
-    Dispatch: with ``TPU_ASSIM_JACOBI=1`` in the environment, large f32
-    [B, K, K] batches on TPU go to the Pallas parallel-Jacobi kernel
-    (:func:`tpu_assim.ops.pallas.jacobi.eigh_jacobi` — XLA's batched eigh
-    costs ~1.0 s for [10^4, 40, 40] f32 on v5e, the Jacobi kernel 0.3 s
-    with eigenvectors). Opt-in rather than default because the Mosaic
-    compile of the unrolled rotation schedule currently takes minutes —
-    worth it for cycled experiments that reuse the compiled program, not
-    for a first interactive call. Everything else (f64 parity paths on
-    CPU, tiny batches, K > 64) stays on ``jnp.linalg.eigh``.
+    Dispatch: large f32 [B, K, K] batches on TPU go to the Pallas
+    parallel-Jacobi kernel by DEFAULT
+    (:func:`tpu_assim.ops.pallas.jacobi.eigh_jacobi`): XLA's batched eigh
+    costs ~1.0 s for [10^4, 40, 40] f32 on v5e, the Jacobi kernel 0.32 s
+    with eigenvectors (3.2x; compile ~13 s, measured 2026-08-20 —
+    scripts/validate_jacobi.py). Compiled-f32 quality at that shape:
+    eigenvector orthogonality ~1e-5 (incl. a 24-fold degenerate cluster),
+    reconstruction ~1e-4..2e-4 relative — the f32 roundoff floor. Set
+    ``TPU_ASSIM_JACOBI=0`` to force the stock XLA path. Everything else
+    (f64 parity paths on CPU, tiny batches, K > 64) stays on
+    ``jnp.linalg.eigh``.
     """
     import os
 
@@ -125,7 +127,7 @@ def eigh_psd(tensor: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     for dim in tensor.shape[:-2]:
         batch *= dim
     if (
-        os.environ.get("TPU_ASSIM_JACOBI", "") == "1"
+        os.environ.get("TPU_ASSIM_JACOBI", "1") != "0"
         and tensor.dtype == jnp.float32
         and tensor.ndim >= 3
         and k <= 64

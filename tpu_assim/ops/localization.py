@@ -309,6 +309,53 @@ class GaspariCohnInf(BaseLocalization):
         return self.taper_from_dist(dist[:, None, :])
 
 
+def taper_support_z(taper: str = "gc2", epsilon: float = 1e-5) -> float:
+    """Normalized-distance support bound of the Gaspari-Cohn tapers with the
+    sub-``epsilon`` cut applied: the largest ``z = dist / radius`` with
+    ``w(z) > epsilon`` (host-side bisection; both GC variants are monotone
+    decreasing on [0, 2] and exactly zero beyond — reference truncation:
+    pytassim/localization/gaspari_cohn.py:124-136).
+
+    Used by the exactness guards of the window kernels: an observation can
+    contribute to a column only if its normalized distance is < this bound.
+    """
+    if epsilon <= 0.0:
+        return 2.0
+
+    if taper == "gc2":
+        def w(z):
+            if z < 1.0:
+                return float(GaspariCohn._f1(z))
+            if z < 2.0:
+                return float(GaspariCohn._f2(z))
+            return 0.0
+    elif taper == "gcinf":
+        def w(z):
+            if z < 0.5:
+                return float(GaspariCohnInf._f1(z))
+            if z < 1.0:
+                return float(GaspariCohnInf._f2(z))
+            if z < 1.5:
+                return float(GaspariCohnInf._f3(z))
+            if z < 2.0:
+                return float(GaspariCohnInf._f4(z))
+            return 0.0
+    else:
+        raise ValueError(f"unknown taper {taper!r}; use 'gc2' or 'gcinf'")
+    if w(0.0) <= epsilon:
+        return 0.0
+    lo, hi = 0.0, 2.0
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        if w(mid) > epsilon:
+            lo = mid
+        else:
+            hi = mid
+    # the upper end of the bracket: boundary-shell obs count as in-support
+    # (conservative by < 1e-17 in z)
+    return hi
+
+
 def neighborhood_select(
     localization,
     grid_coords: jnp.ndarray,
@@ -349,6 +396,7 @@ def neighborhood_select_window(
     obs_coords: jnp.ndarray,
     max_obs: int,
     coord_col: int = 1,
+    strict: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fixed-size obs neighborhoods by sorted-coordinate window — the exact
     fast path for 1-D domains.
@@ -364,6 +412,13 @@ def neighborhood_select_window(
 
     ``localization`` must expose ``taper_from_dist`` and ``dist_func``
     (both Gaspari-Cohn classes do).
+
+    For single-radius Gaspari-Cohn localizations the rank-centered window
+    is additionally clamped onto the column's in-support index range
+    (exact for asymmetric in-support distributions too), and with
+    ``strict=True`` (default) any column with more than ``max_obs``
+    in-support observations gets NaN weights — loud instead of silently
+    truncated (``strict=False`` restores truncation-to-nearest).
 
     Returns ``(idx [g, max_obs] int32, weights [g, max_obs])``.
     """
@@ -382,6 +437,36 @@ def neighborhood_select_window(
     # g=10^4, o=10^3)
     center = jnp.searchsorted(obs_x, grid_x, method="sort")
     start = jnp.clip(center - nb // 2, 0, n_obs - nb)
+    overflow = jnp.zeros_like(grid_x)
+    radius = np.atleast_1d(
+        np.asarray(getattr(localization, "radius", np.nan), dtype=float)
+    )
+    if (
+        isinstance(localization, (GaspariCohn, GaspariCohnInf))
+        and radius.size == 1
+        and nb < n_obs
+    ):
+        # Single-radius Gaspari-Cohn along a plain |x - y| coordinate: the
+        # in-support obs form a contiguous index range [l, h). Clamp the
+        # rank-centered window onto it (exact for asymmetric distributions
+        # too), and NaN-poison columns whose in-support count exceeds the
+        # window — "at most max_obs nonzero-taper obs per column" becomes
+        # the exact-iff condition, enforced loudly (same contract as the
+        # monolithic window kernels, ops/pallas/letkf.py).
+        taper_name = (
+            "gcinf" if isinstance(localization, GaspariCohnInf) else "gc2"
+        )
+        sup = taper_support_z(taper_name, localization.epsilon) * radius[0]
+        sup = jnp.asarray(sup, obs_x.dtype)
+        low = jnp.searchsorted(obs_x, grid_x - sup, side="right",
+                               method="sort")
+        high = jnp.searchsorted(obs_x, grid_x + sup, method="sort")
+        start = jnp.clip(center - nb // 2, high - nb, low)
+        start = jnp.clip(start, 0, n_obs - nb)
+        if strict:
+            overflow = jnp.where(high - low > nb, jnp.nan, 0.0).astype(
+                grid_x.dtype
+            )
     idx = start[:, None] + jnp.arange(nb, dtype=center.dtype)[None, :]
     sel_info = obs_coords[idx]                             # [g, nb, d]
     dist = jax.vmap(
@@ -391,6 +476,7 @@ def neighborhood_select_window(
     weights = weights + jnp.where(sorted_ok, 0.0, jnp.nan).astype(
         weights.dtype
     )
+    weights = weights + overflow[:, None].astype(weights.dtype)
     if nb < max_obs:
         pad = max_obs - nb
         weights = jnp.pad(weights, ((0, 0), (0, pad)))

@@ -23,8 +23,16 @@ matrix is back in original index order. The payoff vs the arithmetic
 body is *identical* (partner gather = adjacent-pair swap; the re-seating is
 one fixed mask/shift select), so the whole iteration is ONE
 ``fori_loop`` whose body Mosaic compiles once — compile time drops from
-~10 minutes (K unrolled rounds x K-slice reverse gathers) to seconds, and
-the per-round data movement shrinks from ~5K strided slices to ~9 rolls.
+~10 minutes (K unrolled rounds x K-slice reverse gathers) to a measured
+12.8 s at [10^4, 40, 40] f32 on v5e, and the per-round data movement
+shrinks from ~5K strided slices to ~9 rolls.
+
+Measured on v5e (2026-08-20, scripts/validate_jacobi.py /
+scripts/jacobi_sweeps.py, [10^4, 40, 40] f32, incl. a 24-fold degenerate
+cluster): eigenvector orthogonality ~1e-5 compiled, reconstruction
+~1e-4..2e-4 relative (the f32 roundoff floor), 317 ms at the default 7
+sweeps vs 1016 ms for XLA's batched eigh — 3.2x. This is the default
+TPU dispatch for :func:`tpu_assim.ops.linalg.eigh_psd`.
 
 Jacobi is also the *accurate* choice: quadratic convergence once nearly
 diagonal and high relative accuracy for small eigenvalues — the property
@@ -168,7 +176,7 @@ def _jacobi_kernel(a_ref, evals_ref, evecs_ref, *, k, sweeps):
 )
 def eigh_jacobi(
     a: jnp.ndarray,
-    sweeps: int = 8,
+    sweeps: int = 7,
     tile: int = 128,
     interpret: bool | None = None,
 ):
@@ -178,10 +186,12 @@ def eigh_jacobi(
     ----------
     a : [..., K, K] symmetric matrices (any leading batch shape).
     sweeps : full Jacobi sweeps (each = K - 1 parallel rounds covering
-        every pair once). 8 reaches working precision for K <= 64 on
-        well-conditioned Grams; quadratic convergence makes the last sweeps
-        cheap insurance.
-    tile : matrices per kernel program (lane dimension).
+        every pair once). Runtime is linear in sweeps (~43 ms per sweep at
+        [10^4, 40, 40] f32 on v5e); the default 7 is converged at K = 40
+        (reconstruction at the f32 floor; sweeps=8 buys ~2x on
+        condition-1e4 spectra at +13% time — scripts/jacobi_sweeps.py).
+    tile : matrices per kernel program (lane dimension; 128 measured
+        fastest vs 256/512).
 
     Returns ``(evals [..., K], evecs [..., K, K])`` with
     ``a == evecs @ diag(evals) @ evecs.T`` — the :func:`jnp.linalg.eigh`

@@ -44,6 +44,8 @@ __all__ = [
     "cheb_degree_for",
     "required_obs_block",
     "required_obs_block_2d",
+    "max_in_support_1d",
+    "max_in_support_2d",
 ]
 
 
@@ -97,20 +99,25 @@ def required_obs_block_2d(obs_y, grid_y, radius_y: float,
     return min(o, -(-width // 8) * 8)
 
 
-def required_obs_block(obs_x, grid_x, nb: int, tile: int = 128) -> int:
+def required_obs_block(obs_x, grid_x, nb: int, tile: int = 128,
+                       radius: float | None = None, taper: str = "gc2",
+                       epsilon: float = 1e-5) -> int:
     """Exact per-tile obs block width for
     :func:`letkf_window_analysis_fused` (host-side, numpy).
 
     Replicates the kernel's blocking math: tile t spans grid columns
-    ``[t*tile, (t+1)*tile)``; its block starts at
-    ``offs = clip(rank(tile_min) - nb, 0, o-1)`` and must reach the window
-    end of the tile's highest-rank column,
-    ``clip(rank_right(tile_max) - nb//2, 0, o-nb) + nb``. Returns the
-    sublane-aligned maximum width over tiles — the smallest block for which
-    the blocked kernel is *exact* (bit-identical windows to the full-table
-    kernel), whatever the obs clustering.
+    ``[t*tile, (t+1)*tile)``; its block must contain every column's
+    clamped window AND (when ``radius`` is given) every column's full
+    taper-support index range ``[l, h)`` — the support coverage is what
+    makes the kernel's in-block support counts (the window clamp and the
+    strict nb-overflow guard) globally exact. Returns the sublane-aligned
+    maximum width over tiles — the smallest block for which the blocked
+    kernel is *exact* (bit-identical windows to the full-table kernel),
+    whatever the obs clustering.
     """
     import numpy as np
+
+    from tpu_assim.ops.localization import taper_support_z
 
     obs_x = np.asarray(obs_x)
     grid_x = np.asarray(grid_x)
@@ -123,13 +130,78 @@ def required_obs_block(obs_x, grid_x, nb: int, tile: int = 128) -> int:
     tiles = grid_x.reshape(n_tiles, tile)
     tmin = tiles.min(axis=1)
     tmax = tiles.max(axis=1)
-    offs = np.clip(np.searchsorted(obs_x, tmin) - nb, 0, max(o - 1, 0))
+    s = taper_support_z(taper, epsilon) * radius if radius else 0.0
+    offs = np.minimum(
+        np.searchsorted(obs_x, tmin) - nb,
+        np.searchsorted(obs_x, tmin - s, side="right"),
+    )
+    offs = np.clip(offs, 0, max(o - 1, 0))
     rank_hi = np.searchsorted(obs_x, tmax, side="right")
-    end_needed = np.clip(rank_hi - nb // 2, 0, max(o - nb, 0)) + nb
+    end_needed = np.maximum(
+        np.clip(rank_hi, 0, max(o - nb, 0)) + nb,
+        np.searchsorted(obs_x, tmax + s, side="left"),
+    )
     width = int(np.max(end_needed - offs)) if n_tiles else 2 * nb
     width = max(width, 2 * nb)
     return min(o, -(-width // 8) * 8)
 
+
+
+def max_in_support_1d(obs_x, grid_x, radius: float, taper: str = "gc2",
+                      epsilon: float = 1e-5) -> int:
+    """Max per-column count of in-support observations (host-side numpy,
+    exact): obs with taper weight > epsilon, i.e. ``|x - gx| < z* radius``
+    with ``z* = taper_support_z(taper, epsilon)``. The window kernels are
+    exact iff this is <= ``nb`` — concrete callers raise on violation
+    instead of relying on the kernels' NaN-poisoning."""
+    import numpy as np
+
+    from tpu_assim.ops.localization import taper_support_z
+
+    obs_x = np.sort(np.asarray(obs_x))
+    grid_x = np.asarray(grid_x)
+    s = taper_support_z(taper, epsilon) * radius
+    lo = np.searchsorted(obs_x, grid_x - s, side="right")
+    hi = np.searchsorted(obs_x, grid_x + s, side="left")
+    return int((hi - lo).max()) if grid_x.size else 0
+
+
+def max_in_support_2d(obs_xy, grid_xy, radius_x: float, radius_y: float,
+                      taper: str = "gc2", epsilon: float = 1e-5,
+                      tile: int = 128) -> int:
+    """Max per-column count of y-band observations inside the x-cutoff
+    (host-side numpy, exact) — the 2-D window kernel's slot-exhaustion
+    measure: per grid tile the band is ``[min(gy) - 2 ry, max(gy) + 2 ry]``
+    (mirroring the kernel prologue), and each column counts band obs with
+    ``|dx| < z* rx``. The fused 2-D kernel is exact iff this is <= ``nb``.
+    """
+    import numpy as np
+
+    from tpu_assim.ops.localization import taper_support_z
+
+    obs_xy = np.asarray(obs_xy)
+    grid_xy = np.asarray(grid_xy)
+    g = grid_xy.shape[0]
+    if g == 0 or obs_xy.shape[0] == 0:
+        return 0
+    order = np.argsort(obs_xy[:, 1], kind="stable")
+    oy = obs_xy[order, 1]
+    ox = obs_xy[order, 0]
+    sx = taper_support_z(taper, epsilon) * radius_x
+    n_tiles = -(-g // tile)
+    worst = 0
+    for t in range(n_tiles):
+        gx = grid_xy[t * tile:(t + 1) * tile, 0]
+        gy = grid_xy[t * tile:(t + 1) * tile, 1]
+        b0 = np.searchsorted(oy, gy.min() - 2.0 * radius_y)
+        b1 = np.searchsorted(oy, gy.max() + 2.0 * radius_y, side="right")
+        if b1 <= b0:
+            continue
+        bx = np.sort(ox[b0:b1])
+        lo = np.searchsorted(bx, gx - sx, side="right")
+        hi = np.searchsorted(bx, gx + sx, side="left")
+        worst = max(worst, int((hi - lo).max()))
+    return worst
 
 
 def _resolve_interpret(interpret):
@@ -640,7 +712,8 @@ def _taper_poly(z, taper: str, epsilon: float):
 
 def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
                          gridx_ref, sp_ref, mean_ref, out_ref,
-                         *, ens_size, degree, nb, epsilon, taper):
+                         *, ens_size, degree, nb, epsilon, taper,
+                         support_z, strict):
     f32 = jnp.float32
     reg = scal_ref[0]
     radius = scal_ref[1]
@@ -655,11 +728,31 @@ def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
     sp = sp_ref[:]                    # [ns, k, T]
     n_obs = perts.shape[1]
 
-    # 1. window starts by rank of grid_x among obs_x
-    cmp = jnp.where(obs_x.reshape(-1, 1) <= grid_x, 1.0, 0.0)  # [o, T]
+    # 1. window starts by rank of grid_x among obs_x, clamped onto the
+    # column's in-support index range [l, h) (obs within the taper support
+    # |dx| < support_z * radius; the support range is contiguous in the
+    # sorted coords). The clamp makes the window exact for ASYMMETRIC
+    # in-support distributions too — a purely rank-centered start truncates
+    # e.g. 12-left/2-right at nb=16 even though the total fits — and makes
+    # "no column has more than nb in-support obs" the exact-iff condition,
+    # which the strict guard below enforces loudly. Padded block slots
+    # carry coords = +float32.max: above every support bound, rank-inert.
+    ox_col = obs_x.reshape(-1, 1)                              # [o, 1]
+    cmp = jnp.where(ox_col <= grid_x, 1.0, 0.0)                # [o, T]
     center = jnp.sum(cmp, axis=0)                              # [T]
-    start = jnp.clip(center - (nb // 2), 0.0,
-                     float(n_obs - nb)).astype(jnp.int32)
+    sup = jnp.asarray(support_z, f32) * radius
+    low = jnp.sum(jnp.where(ox_col <= grid_x - sup, 1.0, 0.0), axis=0)
+    high = jnp.sum(jnp.where(ox_col < grid_x + sup, 1.0, 0.0), axis=0)
+    start = jnp.clip(center - (nb // 2), high - float(nb), low)
+    start = jnp.clip(start, 0.0, float(n_obs - nb)).astype(jnp.int32)
+    # Exactness guard: more in-support obs than window slots means the
+    # selection truncates — poison exactly those columns (loud, never
+    # silently wrong; host-side callers raise first, interface/letkf.py).
+    overflow = (
+        jnp.where(high - low > float(nb), jnp.nan, 0.0).astype(f32)
+        if strict and n_obs > nb
+        else jnp.zeros((), f32)
+    )
 
     # 2-3. one-hot window selection for ALL nb slots in one shot: lanes are
     # (slot, column) pairs, so the nb MXU contractions fuse into ONE
@@ -687,7 +780,7 @@ def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
     w = _taper_poly(z, taper, epsilon)
     sw = jnp.sqrt(w)                                            # [nb, T]
     zh = jnp.swapaxes(zz, 0, 1) * sw[:, None, :]                # [nb, k, T]
-    yh = yv * sw                                                # [nb, T]
+    yh = yv * sw + overflow                                     # [nb, T]
 
     # 4. Chebyshev solve + apply (shared with _letkf_cheb_kernel)
     out_ref[:] = _cheb_solve_apply(
@@ -699,7 +792,7 @@ def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("ens_size", "nb", "degree", "tile", "interpret",
-                     "epsilon", "obs_block", "taper"),
+                     "epsilon", "obs_block", "taper", "strict"),
 )
 def letkf_window_analysis_fused(
     perts: jnp.ndarray,
@@ -717,6 +810,7 @@ def letkf_window_analysis_fused(
     epsilon: float = 1e-5,
     obs_block: int = 0,
     taper: str = "gc2",
+    strict: bool = True,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """The complete 1-D-window LETKF analysis as ONE Pallas kernel.
@@ -733,8 +827,12 @@ def letkf_window_analysis_fused(
         (var, time) state slices sharing the obs-space solve; mean [g]
         (or [ns, g]) state mean.
     reg : scalar (K-1)/rho; radius : static Gaspari-Cohn radius.
-    nb : window size (exact when every column has at most nb nonzero-taper
-        obs and obs are sorted — same condition as neighborhood_select_window).
+    nb : window size. The window is rank-centered, then clamped onto the
+        column's in-support index range — exact IFF every column has at
+        most nb nonzero-taper obs (and obs are sorted); ``strict=True``
+        (default) NaN-poisons any column violating that, so the kernel is
+        never silently approximate. ``strict=False`` accepts the
+        truncation-to-nearest (the standard LETKF obs-count bound).
     obs_block : per-tile obs block width. 0 = auto: the whole obs set when
         it fits VMEM, otherwise ``2 x`` the mean obs count per tile span
         plus ``2 nb`` margin. Each grid tile sees only its contiguous slice
@@ -784,7 +882,7 @@ def letkf_window_analysis_fused(
         obs_block = -(-obs_block // 8) * 8  # sublane-align
 
     statics = (ens_size, nb, degree, tile, epsilon, min(obs_block, o),
-               taper, _resolve_interpret(interpret))
+               taper, strict, _resolve_interpret(interpret))
     out = _window_call(
         perts.astype(f32), innov.astype(f32), obs_x.astype(f32),
         grid_x.astype(f32), sp.astype(f32), mean3, scal, statics,
@@ -795,23 +893,27 @@ def letkf_window_analysis_fused(
 
 def _window_pallas(perts, innov, obs_x, grid_x, sp, mean3, scal,
                    ens_size, nb, degree, tile, epsilon, obs_block, taper,
-                   interpret):
+                   strict, interpret):
     """The raw window-kernel pallas_call over padded f32 inputs
     (perts [k, o], innov [o], obs_x [o], grid_x [G], sp [ns, k, G],
     mean3 [ns, 1, G], G a multiple of tile)."""
+    from tpu_assim.ops.localization import taper_support_z
+
     f32 = jnp.float32
     k, o = perts.shape
     gp = grid_x.shape[0]
     ns = sp.shape[0]
     n_tiles = gp // tile
     nodes, dct = _cheb_nodes_dct(degree)
+    support_z = taper_support_z(taper, epsilon)
     kernel = functools.partial(
         _letkf_window_kernel, ens_size=ens_size, degree=degree, nb=nb,
-        epsilon=epsilon, taper=taper,
+        epsilon=epsilon, taper=taper, support_z=support_z, strict=strict,
     )
     dp1 = degree + 1
     rows = k + 2
     rows_pad = -(-rows // 8) * 8
+    sup = jnp.asarray(support_z, obs_x.dtype) * scal[1]    # scal[1] = radius
 
     if obs_block >= o:
         # single shared packed obs table, replicated to every tile
@@ -823,23 +925,29 @@ def _window_pallas(perts, innov, obs_x, grid_x, sp, mean3, scal,
         o_b = o
     else:
         # Per-tile contiguous obs blocks (sorted obs => each tile's window
-        # obs live in one slice). Out-of-range slots: coords +inf (never
-        # counted by the rank, taper weight 0), values 0.
+        # obs live in one slice; the block also spans every column's full
+        # taper-support range so the kernel's in-block support counts are
+        # globally exact). Out-of-range slots: coords +inf (never counted
+        # by the rank, taper weight 0), values 0.
         o_b = obs_block
         tile_min = grid_x.reshape(n_tiles, tile).min(axis=1)
-        offs = jnp.clip(
+        offs = jnp.minimum(
             jnp.searchsorted(obs_x, tile_min, method="sort") - nb,
-            0, max(o - 1, 0),
-        ).astype(jnp.int32)
-        # Exactness guard: a tile whose coordinate span holds more than
-        # ``obs_block - 2 nb`` observations cannot fit its columns' windows
-        # in the block — NaN-poison those tiles (loud) instead of silently
-        # dropping observations. ``required_obs_block`` computes the exact
-        # width host-side for concrete callers.
+            jnp.searchsorted(obs_x, tile_min - sup, side="right",
+                             method="sort"),
+        )
+        offs = jnp.clip(offs, 0, max(o - 1, 0)).astype(jnp.int32)
+        # Exactness guard: a tile whose block cannot fit its columns'
+        # windows + support ranges would silently drop observations —
+        # NaN-poison those tiles (loud). ``required_obs_block`` computes
+        # the exact width host-side for concrete callers.
         tile_max = grid_x.reshape(n_tiles, tile).max(axis=1)
         rank_hi = jnp.searchsorted(obs_x, tile_max, side="right",
                                    method="sort")
-        end_needed = jnp.clip(rank_hi - nb // 2, 0, max(o - nb, 0)) + nb
+        end_needed = jnp.maximum(
+            jnp.clip(rank_hi, 0, max(o - nb, 0)) + nb,
+            jnp.searchsorted(obs_x, tile_max + sup, method="sort"),
+        )
         bad_tile = (end_needed - offs) > o_b                 # [n_tiles]
         mean3 = mean3 + jnp.where(
             jnp.repeat(bad_tile, tile), jnp.nan, 0.0
@@ -897,13 +1005,18 @@ def _window_analysis_ref(perts, innov, obs_x, grid_x, sp, mean3, scal, *,
     same rank-based window selection, taper, scaling, and Chebyshev
     solve+apply — used as the differentiable backward of
     :func:`letkf_window_analysis_fused` (see :func:`_cheb_call`)."""
-    from tpu_assim.ops.localization import safe_sqrt
+    from tpu_assim.ops.localization import safe_sqrt, taper_support_z
 
     reg = scal[0]
     radius = scal[1]
     o = obs_x.shape[0]
     rank = jnp.searchsorted(obs_x, grid_x, side="right", method="sort")
-    start = jnp.clip(rank - nb // 2, 0, max(o - nb, 0))
+    # mirror of the kernel's support-clamped window placement
+    sup = jnp.asarray(taper_support_z(taper, epsilon), obs_x.dtype) * radius
+    low = jnp.searchsorted(obs_x, grid_x - sup, side="right", method="sort")
+    high = jnp.searchsorted(obs_x, grid_x + sup, method="sort")
+    start = jnp.clip(rank - nb // 2, high - nb, low)
+    start = jnp.clip(start, 0, max(o - nb, 0))
     idx = start[:, None] + jnp.arange(nb, dtype=start.dtype)[None, :]
     ox = obs_x[idx]                                        # [G, nb]
     z = jnp.abs(ox - grid_x[:, None]) / radius
@@ -935,7 +1048,8 @@ def _window_call_fwd(perts, innov, obs_x, grid_x, sp, mean3, scal, statics):
 
 
 def _window_call_bwd(statics, res, g):
-    ens_size, nb, degree, _tile, epsilon, _obs_block, taper, _interp = statics
+    (ens_size, nb, degree, _tile, epsilon, _obs_block, taper, _strict,
+     _interp) = statics
     perts, innov, obs_x, grid_x, sp, mean3, scal = res
 
     def ref(p_, i_, ox_, gx_, sp_, m_, sc_):
@@ -976,13 +1090,17 @@ _window_call.defvjp(_window_call_fwd, _window_call_bwd)
 
 def _letkf_window2d_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
                            grid_ref, sp_ref, mean_ref, out_ref,
-                           *, ens_size, degree, nb, epsilon, taper):
+                           *, ens_size, degree, nb, epsilon, taper,
+                           support_z, strict, n_dims=2):
     f32 = jnp.float32
     reg = scal_ref[0]
     rx = scal_ref[1]
     ry = scal_ref[2]
     # packed obs table [1, rows_pad, o_b]: rows 0..k-1 perts, k innov,
-    # k+1 x coords (sorted within the block), k+2 y coords
+    # k+1 x coords (sorted within the block), k+2 y coords, k+3.. any
+    # extra product-taper coordinate dims (>= 3-D localization: band on y,
+    # window on x, taper factors only for the rest — reference per-dim
+    # radii product, gaspari_cohn.py:124-134)
     pack = obs_ref[:][0]
     k_rows = ens_size
     obs_x = pack[k_rows + 1:k_rows + 2]   # [1, o_b]
@@ -991,11 +1109,27 @@ def _letkf_window2d_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
     sp = sp_ref[:]                        # [ns, k, T]
     n_obs = pack.shape[1]
 
-    # window starts by rank of gx among the block's x coords
-    cmp = jnp.where(obs_x.reshape(-1, 1) <= gx, 1.0, 0.0)       # [o_b, T]
+    # window starts by rank of gx among the block's x coords, clamped onto
+    # the column's x-support range [l, h) within the band (see the 1-D
+    # kernel; band obs outside the x-cutoff consume no slots that way).
+    # The block holds the tile's WHOLE y-band (or the tile is already
+    # band-poisoned), so in-block counts are band-global; out-of-band pad
+    # slots carry x = +float32.max and never enter any count.
+    ox_col = obs_x.reshape(-1, 1)                               # [o_b, 1]
+    cmp = jnp.where(ox_col <= gx, 1.0, 0.0)                     # [o_b, T]
     center = jnp.sum(cmp, axis=0)                               # [T]
-    start = jnp.clip(center - (nb // 2), 0.0,
-                     float(n_obs - nb)).astype(jnp.int32)
+    sup = jnp.asarray(support_z, f32) * rx
+    low = jnp.sum(jnp.where(ox_col <= gx - sup, 1.0, 0.0), axis=0)
+    high = jnp.sum(jnp.where(ox_col < gx + sup, 1.0, 0.0), axis=0)
+    start = jnp.clip(center - (nb // 2), high - float(nb), low)
+    start = jnp.clip(start, 0.0, float(n_obs - nb)).astype(jnp.int32)
+    # Exactness guard: more band obs inside the x-cutoff than window slots
+    # means the selection truncates — poison exactly those columns.
+    overflow = (
+        jnp.where(high - low > float(nb), jnp.nan, 0.0).astype(f32)
+        if strict and n_obs > nb
+        else jnp.zeros((), f32)
+    )
 
     t_cols = gx.shape[1]
     iota_o = jax.lax.broadcasted_iota(jnp.int32, (n_obs, 1), 0)
@@ -1003,10 +1137,11 @@ def _letkf_window2d_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
     sel_all = (start[None, :] + slot).reshape(1, nb * t_cols)
     onehot = jnp.where(iota_o == sel_all, 1.0, 0.0)             # [o_b,nb*T]
     hp = jax.lax.Precision.HIGHEST
+    n_rows = ens_size + 1 + n_dims
     sel = jax.lax.dot_general(
-        pack[:ens_size + 3], onehot, (((1,), (0,)), ((), ())),
+        pack[:n_rows], onehot, (((1,), (0,)), ((), ())),
         preferred_element_type=f32, precision=hp,
-    ).reshape(ens_size + 3, nb, t_cols)                         # [k+3,nb,T]
+    ).reshape(n_rows, nb, t_cols)                               # [rows,nb,T]
     zz = sel[:ens_size]                                         # [k, nb, T]
     yv = sel[ens_size]                                          # [nb, T]
     ox = sel[ens_size + 1]                                      # [nb, T]
@@ -1017,10 +1152,15 @@ def _letkf_window2d_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
     zx = jnp.abs(ox - gx) / rx
     zy = jnp.abs(oy - gy) / ry
     w = _taper_poly(zx, taper, 0.0) * _taper_poly(zy, taper, 0.0)
+    for j in range(n_dims - 2):
+        oz = sel[ens_size + 3 + j]                              # [nb, T]
+        gz = grid_ref[2 + j:3 + j]                              # [1, T]
+        zj = jnp.abs(oz - gz) / scal_ref[3 + j]
+        w = w * _taper_poly(zj, taper, 0.0)
     w = jnp.where(w > epsilon, w, 0.0)
     sw = jnp.sqrt(w)
     zh = jnp.swapaxes(zz, 0, 1) * sw[:, None, :]                # [nb, k, T]
-    yh = yv * sw                                                # [nb, T]
+    yh = yv * sw + overflow                                     # [nb, T]
 
     out_ref[:] = _cheb_solve_apply(
         nodes_ref[:], dct_ref[:], zh, yh, sp, mean_ref[:], reg,
@@ -1031,7 +1171,8 @@ def _letkf_window2d_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("radius_x", "radius_y", "ens_size", "nb", "degree",
-                     "tile", "interpret", "epsilon", "obs_block", "taper"),
+                     "tile", "interpret", "epsilon", "obs_block", "taper",
+                     "strict", "extra_radii"),
 )
 def letkf_window_analysis_fused_2d(
     perts: jnp.ndarray,
@@ -1050,6 +1191,8 @@ def letkf_window_analysis_fused_2d(
     tile: int = 128,
     epsilon: float = 1e-5,
     taper: str = "gc2",
+    strict: bool = True,
+    extra_radii: tuple = (),
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """The complete 2-D-window LETKF analysis as ONE Pallas kernel.
@@ -1058,8 +1201,9 @@ def letkf_window_analysis_fused_2d(
     ----------
     perts : [k, o] R^{-1/2}-normalized obs-space perturbations.
     innov : [o] normalized innovations.
-    obs_xy : [o, 2] obs (x, y) coordinates — any order (sorted internally).
-    grid_xy : [g, 2] grid coordinates; order affects only efficiency (a
+    obs_xy : [o, d] obs (x, y, ...) coordinates — any order (sorted
+        internally); d = 2 + len(extra_radii).
+    grid_xy : [g, d] grid coordinates; order affects only efficiency (a
         row-major grid gives thin per-tile y-bands), never correctness.
     sp / mean : state perturbations / mean, [k, g] or [ns, k, g].
     reg : scalar (K-1)/rho; radius_x / radius_y : static per-dimension
@@ -1067,8 +1211,15 @@ def letkf_window_analysis_fused_2d(
     obs_block : per-tile y-band block width — REQUIRED; pass
         :func:`required_obs_block_2d` (exact for concrete coordinates).
         Overflowing tiles are NaN-poisoned, never silently truncated.
-    nb : x-window size inside the y-band block; exact when no column has
-        more than ``nb`` band obs within its x-cutoff ``2 radius_x``.
+    nb : x-window size inside the y-band block; exact IFF no column has
+        more than ``nb`` band obs within its x-cutoff. ``strict=True``
+        (default) NaN-poisons any violating column; ``strict=False``
+        accepts the truncation-to-x-nearest.
+    extra_radii : static radii for coordinate dims >= 3 (e.g. the COSMO
+        vertical): those dims contribute product taper factors only — the
+        two-level band/window selection stays on (y, x), so the exactness
+        condition above is unchanged (and conservative: extra dims can
+        only zero weights, never add in-support obs).
 
     Returns analysis [k, g] (or [ns, k, g]). Differentiable: the kernel
     carries a custom VJP (Pallas forward, plain-XLA Chebyshev reverse over
@@ -1076,6 +1227,13 @@ def letkf_window_analysis_fused_2d(
     """
     k, o = perts.shape
     g = grid_xy.shape[0]
+    n_dims = 2 + len(extra_radii)
+    if obs_xy.shape[1] < n_dims or grid_xy.shape[1] < n_dims:
+        raise ValueError(
+            f"need {n_dims} coordinate columns for 2 windowed + "
+            f"{len(extra_radii)} extra taper dims; got obs {obs_xy.shape}, "
+            f"grid {grid_xy.shape}"
+        )
     if obs_block <= 0:
         raise ValueError(
             "obs_block is required for the 2-D window kernel; compute it "
@@ -1101,18 +1259,22 @@ def letkf_window_analysis_fused_2d(
     innov = innov[oy_order].astype(f32)
     ox_all = obs_xy[oy_order, 0].astype(f32)
     oy_all = obs_xy[oy_order, 1].astype(f32)
+    oz_all = [obs_xy[oy_order, 2 + j].astype(f32)
+              for j in range(n_dims - 2)]
     gx = grid_xy[:, 0].astype(f32)
     gy = grid_xy[:, 1].astype(f32)
 
     o_b = min(obs_block, o)
-    rows = k + 3
+    rows = k + 1 + n_dims
     rows_pad = -(-rows // 8) * 8
     if o_b >= o:
         # whole table per tile: re-sort by x once, shared pack
         ordx = jnp.argsort(ox_all)
         pack = jnp.concatenate(
             [perts[:, ordx], innov[ordx][None, :], ox_all[ordx][None, :],
-             oy_all[ordx][None, :], jnp.zeros((rows_pad - rows, o), f32)],
+             oy_all[ordx][None, :]]
+            + [z[ordx][None, :] for z in oz_all]
+            + [jnp.zeros((rows_pad - rows, o), f32)],
             axis=0,
         )[None]
     else:
@@ -1136,6 +1298,8 @@ def letkf_window_analysis_fused_2d(
         big = jnp.asarray(jnp.finfo(f32).max, f32)
         ox_b = jnp.where(in_band, jnp.take(ox_all, idx_c), big)
         oy_b = jnp.where(in_band, jnp.take(oy_all, idx_c), big)
+        oz_b = [jnp.where(in_band, jnp.take(z, idx_c), big)
+                for z in oz_all]
         innov_b = jnp.where(in_band, jnp.take(innov, idx_c), 0.0)
         perts_b = jnp.where(
             in_band[:, None, :],
@@ -1146,18 +1310,25 @@ def letkf_window_analysis_fused_2d(
         ordx = jnp.argsort(ox_b, axis=1)                   # [n_tiles, o_b]
         ox_b = jnp.take_along_axis(ox_b, ordx, axis=1)
         oy_b = jnp.take_along_axis(oy_b, ordx, axis=1)
+        oz_b = [jnp.take_along_axis(z, ordx, axis=1) for z in oz_b]
         innov_b = jnp.take_along_axis(innov_b, ordx, axis=1)
         perts_b = jnp.take_along_axis(perts_b, ordx[:, None, :], axis=2)
         pack = jnp.concatenate(
             [perts_b, innov_b[:, None, :], ox_b[:, None, :],
-             oy_b[:, None, :],
-             jnp.zeros((n_tiles, rows_pad - rows, o_b), f32)], axis=1,
+             oy_b[:, None, :]]
+            + [z[:, None, :] for z in oz_b]
+            + [jnp.zeros((n_tiles, rows_pad - rows, o_b), f32)], axis=1,
         )
 
-    scal = jnp.stack([reg.astype(f32), jnp.asarray(radius_x, f32),
-                      jnp.asarray(radius_y, f32)]).reshape(3,)
-    grid2 = jnp.stack([gx, gy], axis=0)                    # [2, G]
-    statics = (ens_size, nb, degree, tile, epsilon, taper,
+    scal = jnp.stack(
+        [reg.astype(f32), jnp.asarray(radius_x, f32),
+         jnp.asarray(radius_y, f32)]
+        + [jnp.asarray(r, f32) for r in extra_radii]
+    ).reshape(1 + n_dims,)
+    grid2 = jnp.stack(
+        [gx, gy] + [grid_xy[:, 2 + j].astype(f32)
+                    for j in range(n_dims - 2)], axis=0)   # [d, G]
+    statics = (ens_size, nb, degree, tile, epsilon, taper, strict, n_dims,
                _resolve_interpret(interpret))
     out = _window2d_call(pack, grid2, sp.astype(f32), mean3, scal, statics)
     out = out[:, :, :g]
@@ -1165,10 +1336,13 @@ def letkf_window_analysis_fused_2d(
 
 
 def _window2d_pallas(pack, grid2, sp, mean3, scal,
-                     ens_size, nb, degree, tile, epsilon, taper, interpret):
+                     ens_size, nb, degree, tile, epsilon, taper, strict,
+                     n_dims, interpret):
     """The raw 2-D window pallas_call over prepared f32 inputs
     (pack [1 or n_tiles, rows_pad, o_b], grid2 [2, G], sp [ns, k, G],
     mean3 [ns, 1, G], G a multiple of tile)."""
+    from tpu_assim.ops.localization import taper_support_z
+
     f32 = jnp.float32
     n_pack, rows_pad, o_b = pack.shape
     ns, k, gp = sp.shape
@@ -1180,6 +1354,8 @@ def _window2d_pallas(pack, grid2, sp, mean3, scal,
     kernel = functools.partial(
         _letkf_window2d_kernel, ens_size=ens_size, degree=degree, nb=nb,
         epsilon=epsilon, taper=taper,
+        support_z=taper_support_z(taper, epsilon), strict=strict,
+        n_dims=n_dims,
     )
     dp1 = degree + 1
     return pl.pallas_call(
@@ -1193,7 +1369,7 @@ def _window2d_pallas(pack, grid2, sp, mean3, scal,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows_pad, o_b), pack_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, tile), lambda i: (0, i),
+            pl.BlockSpec((n_dims, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
@@ -1216,7 +1392,7 @@ def _window2d_pallas(pack, grid2, sp, mean3, scal,
 
 
 def _window2d_ref(pack, grid2, sp, mean3, scal, *, ens_size, nb, degree,
-                  epsilon, taper, tile):
+                  epsilon, taper, tile, n_dims=2):
     """Plain-XLA, tile-vmapped mirror of the 2-D window kernel's math —
     the differentiable backward of :func:`letkf_window_analysis_fused_2d`
     (the block-building prologue is already plain XLA outside the custom
@@ -1230,6 +1406,7 @@ def _window2d_ref(pack, grid2, sp, mean3, scal, *, ens_size, nb, degree,
     n_tiles = gp // tile
     gx = grid2[0].reshape(n_tiles, tile)
     gy = grid2[1].reshape(n_tiles, tile)
+    gz = [grid2[2 + j].reshape(n_tiles, tile) for j in range(n_dims - 2)]
     spt = sp.reshape(ns, k, n_tiles, tile).transpose(2, 0, 1, 3)
     mt = mean3.reshape(ns, 1, n_tiles, tile).transpose(2, 0, 1, 3)
     packt = (
@@ -1238,16 +1415,30 @@ def _window2d_ref(pack, grid2, sp, mean3, scal, *, ens_size, nb, degree,
     )
     nodes, dct = _cheb_nodes_dct(degree)
 
-    def one_tile(pk, gxt, gyt, spt_, mt_):
+    from tpu_assim.ops.localization import taper_support_z
+
+    sup_z = taper_support_z(taper, epsilon)
+
+    def one_tile(pk, gxt, gyt, gzt, spt_, mt_):
         obs_x = pk[ens_size + 1]                           # [o_b]
         o_b = obs_x.shape[0]
         rank = jnp.sum(
             jnp.where(obs_x[:, None] <= gxt[None, :], 1.0, 0.0), axis=0
         )
-        start = jnp.clip(rank - (nb // 2), 0.0,
-                         float(o_b - nb)).astype(jnp.int32)
+        # mirror of the kernel's support-clamped window placement
+        sup = jnp.asarray(sup_z, obs_x.dtype) * rx
+        low = jnp.sum(
+            jnp.where(obs_x[:, None] <= gxt[None, :] - sup, 1.0, 0.0),
+            axis=0,
+        )
+        high = jnp.sum(
+            jnp.where(obs_x[:, None] < gxt[None, :] + sup, 1.0, 0.0),
+            axis=0,
+        )
+        start = jnp.clip(rank - (nb // 2), high - float(nb), low)
+        start = jnp.clip(start, 0.0, float(o_b - nb)).astype(jnp.int32)
         idx = start[:, None] + jnp.arange(nb, dtype=jnp.int32)[None, :]
-        sel = pk[:ens_size + 3][:, idx]                    # [k+3, T, nb]
+        sel = pk[:ens_size + 1 + n_dims][:, idx]           # [rows, T, nb]
         zz = sel[:ens_size]
         yv = sel[ens_size]
         ox = sel[ens_size + 1]
@@ -1255,6 +1446,10 @@ def _window2d_ref(pack, grid2, sp, mean3, scal, *, ens_size, nb, degree,
         zx = jnp.abs(ox - gxt[:, None]) / rx
         zy = jnp.abs(oy - gyt[:, None]) / ry
         w = _taper_poly(zx, taper, 0.0) * _taper_poly(zy, taper, 0.0)
+        for j in range(n_dims - 2):
+            zj = jnp.abs(sel[ens_size + 3 + j]
+                         - gzt[j][:, None]) / scal[3 + j]
+            w = w * _taper_poly(zj, taper, 0.0)
         w = jnp.where(w > epsilon, w, 0.0)
         sw = safe_sqrt(w)                                  # [T, nb]
         zh = zz.transpose(2, 0, 1) * sw.T[:, None, :]      # [nb, k, T]
@@ -1264,7 +1459,9 @@ def _window2d_ref(pack, grid2, sp, mean3, scal, *, ens_size, nb, degree,
             ens_size, degree,
         )
 
-    out_t = jax.vmap(one_tile)(packt, gx, gy, spt, mt)     # [t, ns, k, T]
+    gz_arr = (jnp.stack(gz, axis=1) if gz
+              else jnp.zeros((n_tiles, 0, tile), gx.dtype))
+    out_t = jax.vmap(one_tile)(packt, gx, gy, gz_arr, spt, mt)  # [t,ns,k,T]
     return out_t.transpose(1, 2, 0, 3).reshape(ns, k, gp)
 
 
@@ -1282,13 +1479,14 @@ def _window2d_call_fwd(pack, grid2, sp, mean3, scal, statics):
 
 
 def _window2d_call_bwd(statics, res, g):
-    ens_size, nb, degree, tile, epsilon, taper, _interp = statics
+    (ens_size, nb, degree, tile, epsilon, taper, _strict, n_dims,
+     _interp) = statics
     pack, grid2, sp, mean3, scal = res
 
     def ref(pk, g2, sp_, m_, sc_):
         return _window2d_ref(pk, g2, sp_, m_, sc_, ens_size=ens_size,
                              nb=nb, degree=degree, epsilon=epsilon,
-                             taper=taper, tile=tile)
+                             taper=taper, tile=tile, n_dims=n_dims)
 
     _, vjp = jax.vjp(ref, pack, grid2, sp, mean3, scal)
     return vjp(g)

@@ -197,6 +197,15 @@ def _ring_halo_rdma(packed: jnp.ndarray, axis_name: str, n_shards: int,
     rows, o_ps = packed.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # Mosaic requires the remote-DMA destination slice (out_ref.at[i],
+    # [rows, o_ps]) tile-aligned: pad to (8, 128) multiples and slice the
+    # padding back off after the exchange (caught by the compiled smoke
+    # tests_tpu/test_compiled_parity.py::TestRdmaCompiledSmoke — interpret
+    # mode accepts any shape).
+    rows_p = -(-rows // 8) * 8
+    o_p = -(-o_ps // 128) * 128
+    if (rows_p, o_p) != (rows, o_ps):
+        packed = jnp.pad(packed, ((0, rows_p - rows), (0, o_p - o_ps)))
 
     def kern(in_ref, out_ref, send_sem, recv_sem):
         my = jax.lax.axis_index(axis_name)
@@ -234,7 +243,7 @@ def _ring_halo_rdma(packed: jnp.ndarray, axis_name: str, n_shards: int,
 
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((1 + n_blk, rows, o_ps),
+        out_shape=jax.ShapeDtypeStruct((1 + n_blk, rows_p, o_p),
                                        packed.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -245,6 +254,7 @@ def _ring_halo_rdma(packed: jnp.ndarray, axis_name: str, n_shards: int,
         ),
         interpret=interpret,
     )(packed)
+    out = out[:, :rows, :o_ps]
     return out.transpose(1, 0, 2).reshape(rows, (1 + n_blk) * o_ps)
 
 
@@ -282,7 +292,14 @@ def halo_letkf_analysis(
     locally. With ``halo_width >= halo_width_for(radius, shard_span)`` the
     result is exactly the replicated-obs analysis.
     """
-    n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    # The ring permutation runs over ``axis_name`` only — the shard count is
+    # that axis's extent, NOT the total device count (a 2-D mesh passed to
+    # this 1-D entry used to produce perm indices past the axis size).
+    if axis_name not in mesh.shape:
+        raise ValueError(
+            f"axis_name {axis_name!r} not in mesh axes {mesh.axis_names}"
+        )
+    n_shards = int(mesh.shape[axis_name])
 
     def local_fn(state_loc, vals, var, lidx, ocoords, valid, gcoords, rho):
         k = state_loc.shape[0]
