@@ -72,7 +72,8 @@ def _lienks_solve(
                 w_loc = localization.taper_weights(
                     grid_chunk, obs_info
                 ).astype(ens_obs_perts.dtype)
-            sqrt_w = jnp.sqrt(w_loc)
+            # safe_sqrt: zero taper weights otherwise NaN reverse-mode AD
+            sqrt_w = safe_sqrt(w_loc)
             scaled_perts = ens_obs_perts[None, :, :] * sqrt_w[:, None, :]
             scaled_obs = (innovations[None, :] * sqrt_w)[:, None, :]
         if step_kind == "bundle":

@@ -104,6 +104,42 @@ def native_available() -> bool:
     return _load() is not None
 
 
+_extra_libs: dict = {}
+
+
+def _get_lib_for(src: str, libname: str) -> Optional[ctypes.CDLL]:
+    """Generic memoized build+load for additional native sources (e.g.
+    native/obs_pipeline.cpp); same toolchain/fallback discipline as the
+    primary runtime: no g++ -> None, callers degrade to numpy."""
+    with _lock:
+        if src in _extra_libs:
+            return _extra_libs[src]
+        lib = None
+        lib_path = os.path.join(_BUILD_DIR, libname)
+        if os.path.exists(src):
+            fresh = os.path.exists(lib_path) and (
+                os.path.getmtime(lib_path) >= os.path.getmtime(src)
+            )
+            if not fresh:
+                os.makedirs(_BUILD_DIR, exist_ok=True)
+                cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                       "-std=c++17", "-pthread", src, "-o", lib_path]
+                try:
+                    subprocess.run(cmd, check=True, capture_output=True,
+                                   timeout=300)
+                    fresh = True
+                except (OSError, subprocess.SubprocessError) as exc:
+                    logger.warning("native build of %s failed (%s); numpy "
+                                   "fallback", libname, exc)
+            if fresh:
+                try:
+                    lib = ctypes.CDLL(lib_path)
+                except OSError as exc:
+                    logger.warning("loading %s failed (%s)", libname, exc)
+        _extra_libs[src] = lib
+        return lib
+
+
 def _c64(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
