@@ -130,26 +130,47 @@ def fused1d_bytes_estimate(k, g, o, nb, degree, tile=128, obs_block=None,
     return per_tile * n_tiles * bytes_per
 
 
-def _chain_time(step, args, reps=20, trials=3):
-    """Steady-state per-step seconds for ``step(acc, *args)``: data-dependent
-    chaining on device, one scalar D2H per trial (excludes host dispatch /
-    tunnel latency). ``args`` are passed as jit arguments, NOT closed over —
-    closures would bake hundreds of MB of constants into the HLO upload."""
+def _chain_time(step, args, reps=20, trials=3, r1=None):
+    """True steady-state per-step device seconds for ``step(acc, *args)``.
+
+    Runs ``r1`` and ``reps`` data-dependent chained steps inside ONE jitted
+    ``fori_loop`` each and returns the two-point slope
+    ``(T(reps) - T(r1)) / (reps - r1)``: every fixed per-invocation cost —
+    jit dispatch, the axon-tunnel round trip (~23 ms per call on this
+    harness, measured in scripts/profile_window4.py), program launch, the
+    final scalar D2H — cancels exactly, leaving the per-analysis device
+    time. The loop carry feeds each step's scalar output back into the next
+    step's input, so XLA can neither hoist nor overlap reps.
+
+    ``args`` are passed as jit arguments, NOT closed over — closures would
+    bake hundreds of MB of constants into the HLO upload (axon HTTP 413).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as _np
 
+    if r1 is None:
+        r1 = max(reps // 5, 1)
+
+    @jax.jit
+    def looped(acc, n, *a):
+        def body(_, x):
+            return step(x, *a)
+        return jax.lax.fori_loop(0, n, body, acc)
+
     acc0 = jnp.asarray(0.0, jnp.float32)
-    _np.asarray(step(acc0, *args))  # warmup/compile
-    best = float("inf")
+    n1 = jnp.asarray(r1, jnp.int32)
+    n2 = jnp.asarray(reps, jnp.int32)
+    _np.asarray(looped(acc0, n1, *args))  # warmup/compile (shared trace)
+    t_lo = t_hi = float("inf")
     for _ in range(trials):
-        acc = acc0
         t0 = time.perf_counter()
-        for _ in range(reps):
-            acc = step(acc, *args)
-        _np.asarray(acc)
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+        _np.asarray(looped(acc0, n1, *args))
+        t_lo = min(t_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _np.asarray(looped(acc0, n2, *args))
+        t_hi = min(t_hi, time.perf_counter() - t0)
+    return (t_hi - t_lo) / (reps - r1)
 
 
 def run_all_configs():
@@ -185,7 +206,7 @@ def run_all_configs():
         return jnp.sum(etkf(w[0] + acc * 1e-9, *w[1:])) * 1e-12
 
     progress("config 1: etkf global...")
-    t1 = _chain_time(step1, w1, reps=50)
+    t1 = _chain_time(step1, w1, reps=400)
     emit({"metric": "etkf_global_analyses_per_s",
           "value": round(1.0 / t1, 1),
           "unit": "analyses/s (ens=20, grid=40, obs=20)"})
@@ -201,7 +222,7 @@ def run_all_configs():
         return jnp.sum(letkf(w[0] + acc * 1e-9, *w[1:])) * 1e-12
 
     progress("config 2: letkf bench...")
-    t2 = _chain_time(step2, w2)
+    t2 = _chain_time(step2, w2, reps=200)
     emit({"metric": "letkf_analysis_grid_points_per_s",
           "value": round(10000 / t2, 1),
           "unit": "grid-points/s (ens=40, grid=10000, obs=1000, GC r=20)"})
@@ -230,7 +251,7 @@ def run_all_configs():
         return jnp.sum(halo(w[0] + acc * 1e-9, *w[1:])) * 1e-12
 
     progress("config 3: halo sharded...")
-    t3 = _chain_time(step3, h_args)
+    t3 = _chain_time(step3, h_args, reps=100)
     emit({"metric": "letkf_halo_sharded_grid_points_per_s",
           "value": round(g3 / t3, 1),
           "unit": "grid-points/s over {0} device(s) "
@@ -254,7 +275,7 @@ def run_all_configs():
         return jnp.sum(out) * 1e-12
 
     progress("config 4: ketkf...")
-    t4 = _chain_time(step4, w4)
+    t4 = _chain_time(step4, w4, reps=100)
     emit({"metric": "ketkf_global_grid_points_per_s",
           "value": round(10000 / t4, 1),
           "unit": "grid-points/s (Gauss kernel, ens=40, grid=10000,"
@@ -301,7 +322,7 @@ def run_all_configs():
         return jnp.sum(cyc(w[0] + acc * 1e-9, *w[1:])) * 1e-12
 
     progress("config 6: cycle throughput...")
-    t6 = _chain_time(step6, w6)
+    t6 = _chain_time(step6, w6, reps=100)
     emit({"metric": "da_cycles_per_s",
           "value": round(1.0 / t6, 2),
           "unit": "forecast(4xRK4)+analysis cycles/s (ens=40, grid=10000,"
@@ -312,7 +333,7 @@ def run_all_configs():
         return jnp.sum(letkf5(w[0] + acc * 1e-9, *w[1:])) * 1e-12
 
     progress("config 5: large letkf...")
-    t5 = _chain_time(step5, w5, reps=4, trials=2)
+    t5 = _chain_time(step5, w5, reps=6, r1=2, trials=2)
     emit({"metric": "letkf_large_grid_points_per_s",
           "value": round(g5 / t5, 1),
           "unit": "grid-points/s (ens=100, grid=2^20, obs=2^16, GC r=20,"
@@ -356,7 +377,7 @@ def run_all_configs():
         return jnp.sum(letkf7(w[0] + acc * 1e-9, *w[1:])) * 1e-12
 
     progress("config 7: 2-D fused kernel...")
-    t7 = _chain_time(step7, w7)
+    t7 = _chain_time(step7, w7, reps=100)
     emit({"metric": "letkf_2d_fused_grid_points_per_s",
           "value": round(g7 / t7, 1),
           "unit": "grid-points/s (2-D 128x128 grid, ens=40, obs=1024,"
@@ -397,29 +418,18 @@ def main():
         jnp.asarray(a)
         for a in (state, obs_vals, obs_var, obs_idx, grid_coords, obs_coords)
     )
-    import numpy as _np
 
     # Steady-state throughput: each rep feeds a data-dependent perturbation
     # of the state back into the next analysis (so XLA cannot hoist or fuse
-    # across reps), all reps stay on device, and one scalar D2H closes the
-    # chain — this measures the analysis itself, not host dispatch or the
-    # axon-tunnel copy latency. Best of several trials.
-    @jax.jit
-    def chained(acc):
-        out = analyse(args[0] + acc * 1e-9, *args[1:])
+    # across reps), all reps run inside ONE jitted fori_loop, and the fixed
+    # per-invocation cost (jit dispatch + the ~23 ms axon-tunnel round trip)
+    # cancels in the two-point slope — see _chain_time. This measures the
+    # analysis itself, not the remote-harness plumbing.
+    def chained(acc, *w):
+        out = analyse(w[0] + acc * 1e-9, *w[1:])
         return jnp.sum(out) * 1e-12
 
-    _np.asarray(chained(jnp.asarray(0.0, args[0].dtype)))  # warmup/compile
-    reps, trials = 20, 4
-    times = []
-    for _trial in range(trials):
-        acc = jnp.asarray(0.0, args[0].dtype)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            acc = chained(acc)
-        _np.asarray(acc)
-        times.append((time.perf_counter() - t0) / reps)
-    tpu_time = min(times)
+    tpu_time = _chain_time(chained, args, reps=200, r1=40, trials=4)
     tpu_gps = len_grid / tpu_time
 
     # numpy pytassim-style baseline on a grid subsample, extrapolated
