@@ -559,9 +559,13 @@ def _cheb_pallas(zh, yh, sp, mean3, reg_arr, ens_size, degree, tile,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ns, k, gp), jnp.float32),
         # grid tiles are independent; declaring it lets Mosaic pipeline
-        # them (~3% on the benchmark workload)
+        # them (~3% on the benchmark workload). High auto-degrees (harsh
+        # conditioning, e.g. smoother windows at degree ~60+) unroll enough
+        # Clenshaw temporaries to blow the 16 MB default scoped-VMEM cap —
+        # raise it like the 2-D kernel does (v5e has 128 MB physical).
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(reg_arr, jnp.asarray(nodes)[None, :], jnp.asarray(dct), zh, yh, sp,
@@ -991,8 +995,10 @@ def _window_pallas(perts, innov, obs_x, grid_x, sp, mean3, scal,
         out_specs=pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ns, k, gp), f32),
+        # vmem_limit raised for high auto-degrees (see _cheb_pallas)
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(scal, jnp.asarray(nodes)[None, :], jnp.asarray(dct),
