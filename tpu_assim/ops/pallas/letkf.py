@@ -423,30 +423,55 @@ def _cheb_nodes_dct(degree: int):
 
 
 def _cheb_solve_apply(nodes, dct_mat, zh, yh, sp, mean, reg,
-                      ens_size, degree):
+                      ens_size, degree, zzs=None, acc_form=False):
     """Shared Chebyshev/Clenshaw solve + weight application, lane-major.
 
     zh [nb, k, T] scaled neighborhood perts; yh [nb, T] scaled innovations;
     sp [ns, k, T] state perturbations of ns stacked (var, time) slices;
-    mean [ns, 1, T] -> analysis [ns, k, T].
+    mean [ns, 1, T] -> analysis [ns, k, T]. ``zzs`` is the SAME scaled
+    perts in [k, nb, T] layout (nb on the sublane dim); window-kernel
+    callers pass it for free (it is the selection-matmul output before the
+    swapaxes), other callers leave it None and pay one relayout.
 
     The obs-space solve (Gram S, spectral bound, coefficients, q = X^{-1} yh)
     is shared across the ns state slices; only the per-slice operands
     u_i = Zh sp_i ride along. All 1 + ns Clenshaw operands run in ONE joint
-    recurrence with per-operand coefficient stacks, so the S matvec is a
-    single broadcasted multiply per degree step.
+    recurrence.
+
+    ``acc_form=True`` (the compiled-Mosaic path) writes every per-lane
+    contraction (Gram, S matvec, u, zv) as an ACCUMULATION over the
+    contracted index — one sublane-slice + broadcast + FMA per step —
+    instead of per-row broadcast-multiply + sublane-reduce stacks. The
+    kernel is op-issue-bound, not FLOP-bound, and the FMA form issues ~4x
+    fewer VPU ops with no separate reduce pass: measured 0.723 -> 0.215 ms
+    on the benchmark workload (scripts/exp_matvec.py, v5e; rel-err 2e-7 —
+    the two forms differ only in summation order). Interpret/XLA callers
+    keep the stacked form (default): outside Mosaic the unrolled FMA chain
+    is ~6x more ops for XLA to trace and run.
     """
     f32 = jnp.float32
     nb = zh.shape[0]
     ns = sp.shape[0]
+    if acc_form and zzs is None:
+        zzs = jnp.swapaxes(zh, 0, 1)                     # [k, nb, T]
 
-    # S[n, m, c] = sum_k zh[n, k, c] zh[m, k, c]  — nb sublane reductions.
-    # (A single [nb, nb, k, T] broadcast-multiply + reduce would be ~30
-    # fewer ops, but Mosaic cannot relayout the 4-D broadcast: "Invalid
-    # relayout: non-singleton logical dimension is replicated".)
-    s = jnp.stack(
-        [jnp.sum(zh[n][None, :, :] * zh, axis=1) for n in range(nb)], axis=0
-    )  # [nb, nb, T]
+    if acc_form:
+        # S[n, m, c] = sum_k zh[n, k, c] zh[m, k, c], accumulated over k:
+        # zh[:, k, :] is [nb, T] with n untiled, zzs[k] is [nb, T] with m
+        # on the sublane dim — their broadcast product is one [nb,nb,T] FMA
+        s = zh[:, 0, :][:, None, :] * zzs[0][None, :, :]
+        for kk in range(1, ens_size):
+            s = s + zh[:, kk, :][:, None, :] * zzs[kk][None, :, :]
+        # [nb, nb, T]; symmetric, so s[m] is row m as [nb-sublane, T]
+    else:
+        # per-row broadcast-mult + sublane-reduce (the XLA-friendly form;
+        # a single [nb, nb, k, T] broadcast would be fewer ops still, but
+        # Mosaic cannot relayout the 4-D broadcast: "Invalid relayout:
+        # non-singleton logical dimension is replicated")
+        s = jnp.stack(
+            [jnp.sum(zh[n][None, :, :] * zh, axis=1) for n in range(nb)],
+            axis=0,
+        )  # [nb, nb, T]
 
     # spectral upper bound per column (exact bound; 1.05 floor keeps the
     # affine map well-conditioned — columns with lam_max below the floor
@@ -486,13 +511,30 @@ def _cheb_solve_apply(nodes, dct_mat, zh, yh, sp, mean, reg,
     # step on a per-op-latency-bound kernel.
     a2_sc = (2.0 / (lam_ub - 1.0) / reg)[None, :]            # [1, T]
 
-    def xt(vec):  # [1+ns, nb, T] -> [1+ns, nb, T]
-        sv = jnp.sum(s[None] * vec[:, None, :, :], axis=2)   # S @ vec per op
-        return a2_sc * sv - vec
+    if acc_form:
+        def xt(vec):  # [1+ns, nb, T] -> [1+ns, nb, T]
+            # S @ vec per operand, accumulated over m: s[m] is row m
+            # (symmetry) as [nb-sublane, T]; vec[:, m, :] broadcasts over
+            # the sublane dim.
+            sv = s[0][None, :, :] * vec[:, 0, :][:, None, :]
+            for m in range(1, nb):
+                sv = sv + s[m][None, :, :] * vec[:, m, :][:, None, :]
+            return a2_sc * sv - vec
 
-    u = jnp.stack(
-        [jnp.sum(zh * sp[i][None, :, :], axis=1) for i in range(ns)], axis=0
-    )                                                        # [ns, nb, T]
+        # u[i, n, c] = sum_k zzs[k, n, c] sp[i, k, c], accumulated over k
+        u = zzs[0][None, :, :] * sp[:, 0, :][:, None, :]
+        for kk in range(1, ens_size):
+            u = u + zzs[kk][None, :, :] * sp[:, kk, :][:, None, :]
+        # [ns, nb, T]
+    else:
+        def xt(vec):  # [1+ns, nb, T] -> [1+ns, nb, T]
+            sv = jnp.sum(s[None] * vec[:, None, :, :], axis=2)  # S @ vec
+            return a2_sc * sv - vec
+
+        u = jnp.stack(
+            [jnp.sum(zh * sp[i][None, :, :], axis=1) for i in range(ns)],
+            axis=0,
+        )                                                    # [ns, nb, T]
     w_all = jnp.concatenate([yh[None], u], axis=0)           # [1+ns, nb, T]
 
     b1 = jnp.zeros_like(w_all)
@@ -506,14 +548,23 @@ def _cheb_solve_apply(nodes, dct_mat, zh, yh, sp, mean, reg,
 
     alpha = jnp.sqrt((ens_size - 1.0) / reg)
     mean_upd = jnp.sum(u * q[None], axis=1, keepdims=True) / reg  # [ns, 1, T]
-    zv = jnp.stack(
-        [jnp.sum(zh * v[i][:, None, :], axis=0) for i in range(ns)], axis=0
-    )                                                        # [ns, k, T]
+    if acc_form:
+        # zv[i, k, c] = sum_n zh[n, k, c] v[i, n, c], accumulated over n
+        zv = zh[0][None, :, :] * v[:, 0, :][:, None, :]
+        for n in range(1, nb):
+            zv = zv + zh[n][None, :, :] * v[:, n, :][:, None, :]
+        # [ns, k, T]
+    else:
+        zv = jnp.stack(
+            [jnp.sum(zh * v[i][:, None, :], axis=0) for i in range(ns)],
+            axis=0,
+        )                                                    # [ns, k, T]
     return mean + mean_upd + alpha * sp - (alpha / reg) * zv
 
 
 def _letkf_cheb_kernel(reg_ref, nodes_ref, dct_ref, zh_ref, yh_ref, sp_ref,
-                       mean_ref, out_ref, *, ens_size, degree):
+                       mean_ref, out_ref, *, ens_size, degree,
+                       acc_form=False):
     """One tile of T grid columns, lane-major ([.., T]).
 
     zh [nb, k, T] scaled neighborhood perts; yh [nb, T] scaled innovations;
@@ -521,7 +572,7 @@ def _letkf_cheb_kernel(reg_ref, nodes_ref, dct_ref, zh_ref, yh_ref, sp_ref,
     """
     out_ref[:] = _cheb_solve_apply(
         nodes_ref[:], dct_ref[:], zh_ref[:], yh_ref[:], sp_ref[:],
-        mean_ref[:], reg_ref[0], ens_size, degree,
+        mean_ref[:], reg_ref[0], ens_size, degree, acc_form=acc_form,
     )
 
 
@@ -535,6 +586,7 @@ def _cheb_pallas(zh, yh, sp, mean3, reg_arr, ens_size, degree, tile,
     nodes, dct = _cheb_nodes_dct(degree)
     kernel = functools.partial(
         _letkf_cheb_kernel, ens_size=ens_size, degree=degree,
+        acc_form=not interpret,
     )
     dp1 = degree + 1
     return pl.pallas_call(
@@ -717,7 +769,7 @@ def _taper_poly(z, taper: str, epsilon: float):
 def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
                          gridx_ref, sp_ref, mean_ref, out_ref,
                          *, ens_size, degree, nb, epsilon, taper,
-                         support_z, strict):
+                         support_z, strict, acc_form=False):
     f32 = jnp.float32
     reg = scal_ref[0]
     radius = scal_ref[1]
@@ -783,13 +835,14 @@ def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
     z = jnp.abs(ox - grid_x) / radius                           # [nb, T]
     w = _taper_poly(z, taper, epsilon)
     sw = jnp.sqrt(w)                                            # [nb, T]
+    zzs = zz * sw[None, :, :]                                   # [k, nb, T]
     zh = jnp.swapaxes(zz, 0, 1) * sw[:, None, :]                # [nb, k, T]
     yh = yv * sw + overflow                                     # [nb, T]
 
     # 4. Chebyshev solve + apply (shared with _letkf_cheb_kernel)
     out_ref[:] = _cheb_solve_apply(
         nodes_ref[:], dct_ref[:], zh, yh, sp, mean_ref[:], reg,
-        ens_size, degree,
+        ens_size, degree, zzs=zzs, acc_form=acc_form,
     )
 
 
@@ -913,6 +966,7 @@ def _window_pallas(perts, innov, obs_x, grid_x, sp, mean3, scal,
     kernel = functools.partial(
         _letkf_window_kernel, ens_size=ens_size, degree=degree, nb=nb,
         epsilon=epsilon, taper=taper, support_z=support_z, strict=strict,
+        acc_form=not interpret,
     )
     dp1 = degree + 1
     rows = k + 2
@@ -1097,7 +1151,7 @@ _window_call.defvjp(_window_call_fwd, _window_call_bwd)
 def _letkf_window2d_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
                            grid_ref, sp_ref, mean_ref, out_ref,
                            *, ens_size, degree, nb, epsilon, taper,
-                           support_z, strict, n_dims=2):
+                           support_z, strict, n_dims=2, acc_form=False):
     f32 = jnp.float32
     reg = scal_ref[0]
     rx = scal_ref[1]
@@ -1165,12 +1219,13 @@ def _letkf_window2d_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
         w = w * _taper_poly(zj, taper, 0.0)
     w = jnp.where(w > epsilon, w, 0.0)
     sw = jnp.sqrt(w)
+    zzs = zz * sw[None, :, :]                                   # [k, nb, T]
     zh = jnp.swapaxes(zz, 0, 1) * sw[:, None, :]                # [nb, k, T]
     yh = yv * sw + overflow                                     # [nb, T]
 
     out_ref[:] = _cheb_solve_apply(
         nodes_ref[:], dct_ref[:], zh, yh, sp, mean_ref[:], reg,
-        ens_size, degree,
+        ens_size, degree, zzs=zzs, acc_form=acc_form,
     )
 
 
@@ -1361,7 +1416,7 @@ def _window2d_pallas(pack, grid2, sp, mean3, scal,
         _letkf_window2d_kernel, ens_size=ens_size, degree=degree, nb=nb,
         epsilon=epsilon, taper=taper,
         support_z=taper_support_z(taper, epsilon), strict=strict,
-        n_dims=n_dims,
+        n_dims=n_dims, acc_form=not interpret,
     )
     dp1 = degree + 1
     return pl.pallas_call(
