@@ -130,6 +130,15 @@ def fused1d_bytes_estimate(k, g, o, nb, degree, tile=128, obs_block=None,
     return per_tile * n_tiles * bytes_per
 
 
+def exact_nb(worst: int, mult: int = 4, floor: int = 8) -> int:
+    """Smallest window size that is EXACT for the workload: the host-side
+    in-support maximum (max_in_support_1d/_2d) rounded up to a sublane-
+    friendly multiple. The kernels' strict guards independently verify the
+    bound at run time (NaN-poison + host-side raise on violation), so this
+    is a measured configuration, not an approximation."""
+    return max(-(-worst // mult) * mult, floor)
+
+
 def _chain_time(step, args, reps=20, trials=3, r1=None):
     """True steady-state per-step device seconds for ``step(acc, *args)``.
 
@@ -212,10 +221,14 @@ def run_all_configs():
           "unit": "analyses/s (ens=20, grid=40, obs=20)"})
 
     # -- config 2: LETKF benchmark workload (the headline metric) ---------
+    from tpu_assim.ops.pallas.letkf import (
+        max_in_support_1d, max_in_support_2d)
+
     w2 = tuple(jnp.asarray(a) for a in build_workload(40, 10000, 1000))
     loc2 = GaspariCohn((20.0,), dist_fn)
+    nb2 = exact_nb(max_in_support_1d(w2[5][:, 0], w2[4][:, 0], 20.0))
     letkf = make_letkf_analysis(loc2, inf_factor=1.1, method="fused1d",
-                                max_obs=16, cheb_degree=12)
+                                max_obs=nb2, cheb_degree=12)
 
     @jax.jit
     def step2(acc, *w):
@@ -300,9 +313,10 @@ def run_all_configs():
     def h5(state_data):
         return jnp.mean(jnp.take(state_data, stencil5, axis=-1), axis=-1)
 
+    nb5 = exact_nb(max_in_support_1d(w5[5][:, 0], w5[4][:, 0], 20.0))
     letkf5 = make_letkf_analysis(
         GaspariCohn((20.0,), dist_fn), inf_factor=1.1, method="fused1d",
-        max_obs=16, obs_operator=h5,
+        max_obs=nb5, obs_operator=h5,
     )
 
     # -- bonus: full cycled-DA throughput (forecast + fused analysis) ------
@@ -311,10 +325,11 @@ def run_all_configs():
 
     g6, o6 = 10000, 1000
     w6 = tuple(jnp.asarray(a) for a in build_workload(40, g6, o6))
+    nb6 = exact_nb(max_in_support_1d(w6[5][:, 0], w6[4][:, 0], 20.0))
     cyc = make_cycle_step(
         RK4Integrator(Lorenz96(), dt=0.05), 4,
         GaspariCohn((20.0,), dist_fn), inf_factor=1.1,
-        method="fused1d", max_obs=16,
+        method="fused1d", max_obs=nb6,
     )
 
     @jax.jit
@@ -363,13 +378,14 @@ def run_all_configs():
         return jnp.stack([jnp.abs(oi[:, 1] - gc[1]),
                           jnp.abs(oi[:, 2] - gc[2])], 0)
 
-    # radius 4: every column's taper support holds well under nb=48 obs at
-    # this density, so the window truncation is inactive (exact regime;
-    # measured ~1e-4 of the f64 eigh path)
+    # radius 4: nb sized to the exact per-column band/x-cutoff maximum
+    # (max_in_support_2d; the strict guards verify) — every solve tensor
+    # scales with nb, so the conservative 48 was pure overhead
     blk7 = required_obs_block_2d(obs_xy7[:, 1], grid_xy7[:, 1], 4.0)
+    nb7 = exact_nb(max_in_support_2d(obs_xy7, grid_xy7, 4.0, 4.0))
     letkf7 = make_letkf_analysis(
         GaspariCohn((4.0, 4.0), dist2), inf_factor=1.1, method="fused2d",
-        max_obs=48, cheb_degree=16, obs_block=blk7,
+        max_obs=nb7, cheb_degree=16, obs_block=blk7,
     )
 
     @jax.jit
@@ -409,10 +425,17 @@ def main():
     # the f64 eigh path on this workload).
     # cheb_degree=12 is validated for this workload's conditioning
     # (2.9e-6 relative vs the f64 eigh path; the library default 16 covers
-    # harsher conditioning at ~20% more Clenshaw work)
+    # harsher conditioning at ~20% more Clenshaw work).
+    # max_obs: exact in-support maximum (9 for this workload), rounded up —
+    # every per-lane solve tensor scales with nb, so the window is sized to
+    # the workload, not a default (exactness enforced by the strict guards).
+    from tpu_assim.ops.pallas.letkf import max_in_support_1d
+
+    nb = exact_nb(max_in_support_1d(obs_coords[:, 0], grid_coords[:, 0],
+                                    radius))
     analyse = make_letkf_analysis(
         loc, inf_factor=inf, chunksize=None,
-        method="fused1d", max_obs=16, cheb_degree=12,
+        method="fused1d", max_obs=nb, cheb_degree=12,
     )
     args = tuple(
         jnp.asarray(a)
@@ -445,9 +468,9 @@ def main():
     # the measured time, so "fast" is stated against the hardware, not just
     # against a Python loop. The model counts selection work too (the
     # one-hot gather IS MXU work this design chooses to do).
-    flops = fused1d_flop_estimate(ens_size, len_grid, nr_obs, nb=16,
+    flops = fused1d_flop_estimate(ens_size, len_grid, nr_obs, nb=nb,
                                   degree=12)
-    bbytes = fused1d_bytes_estimate(ens_size, len_grid, nr_obs, nb=16,
+    bbytes = fused1d_bytes_estimate(ens_size, len_grid, nr_obs, nb=nb,
                                     degree=12)
     device_kind = jax.devices()[0].device_kind
     print(
