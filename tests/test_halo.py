@@ -110,6 +110,58 @@ class TestHaloLETKF:
         np.testing.assert_allclose(np.asarray(result), np.asarray(expected),
                                    **TOL)
 
+    @pytest.mark.parametrize("radius", [4.0, 7.0])
+    def test_windowed_local_solve_matches_dense(self, rng, radius):
+        """local_method='window' (per-shard monolithic window kernel over
+        the sorted halo concat) must reproduce the dense analysis — same
+        oracle as the top_k path, exercising the sorted ring order, the
+        wrap sentinels, and the pad-slot pinning (unbalanced shard counts:
+        the obs are randomly placed, so per-shard counts differ and real
+        pad slots ride through the exchange)."""
+        state, obs_vals, obs_var, obs_idx, grid_coords, obs_coords = _workload(
+            rng
+        )
+        n_grid = state.shape[1]
+        loc = GaspariCohn((radius,), _dist_fn)
+
+        dense = make_letkf_analysis(loc, inf_factor=1.1)
+        expected = dense(
+            jnp.asarray(state), jnp.asarray(obs_vals), jnp.asarray(obs_var),
+            jnp.asarray(obs_idx), jnp.asarray(grid_coords),
+            jnp.asarray(obs_coords),
+        )
+
+        mesh = make_grid_mesh(8)
+        h = halo_width_for(radius, n_grid / 8)
+        vals, var, lidx, coords, valid, _ = shard_observations(
+            obs_vals, obs_var, obs_idx, obs_coords, n_grid, 8
+        )
+        # cheb_degree 32: this workload's conditioning at radius 7 needs it
+        # (degree 16 truncates at ~2e-4; 32 reaches the f32 floor ~2e-6 —
+        # degree must track conditioning, see cheb_degree_for)
+        analyse = halo_letkf_analysis(
+            mesh, loc, max_obs=32, halo_width=h, inf_factor=1.1,
+            local_method="window", cheb_degree=32,
+        )
+        result = analyse(
+            jnp.asarray(state), jnp.asarray(vals), jnp.asarray(var),
+            jnp.asarray(lidx), jnp.asarray(coords), jnp.asarray(valid),
+            jnp.asarray(grid_coords),
+        )
+        assert np.isfinite(np.asarray(result)).all()
+        # the window kernel computes in f32 (like the single-chip fused
+        # paths) — f32-floor tolerance vs the f64 dense oracle, same as
+        # test_halo_pallas_matches_eigh_path
+        np.testing.assert_allclose(np.asarray(result), np.asarray(expected),
+                                   rtol=5e-4, atol=5e-5)
+
+    def test_windowed_rejects_multi_radius(self):
+        loc = GaspariCohn((4.0, 5.0), _dist_fn)
+        mesh = make_grid_mesh(8)
+        with pytest.raises(ValueError, match="single localization"):
+            halo_letkf_analysis(mesh, loc, max_obs=8, halo_width=1,
+                                local_method="window")
+
     def test_unknown_axis_name_raises(self):
         loc = GaspariCohn((4.0,), _dist_fn)
         mesh = make_grid_mesh(8)

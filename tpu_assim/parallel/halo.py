@@ -175,6 +175,47 @@ def _ring_halo(packed: jnp.ndarray, axis_name: str, n_shards: int,
     return jnp.concatenate(blocks, axis=-1)
 
 
+def _ring_halo_sorted(packed: jnp.ndarray, coord_row: int, axis_name: str,
+                      n_shards: int, halo_width: int) -> jnp.ndarray:
+    """Halo concat in ASCENDING ring-offset order ``[-h .. -1, 0, 1 .. h]``
+    for the windowed local solve (:func:`halo_letkf_analysis` with
+    ``local_method="window"``), which needs the candidate coordinate row
+    (``packed[coord_row]``) sorted ascending across the whole concat.
+
+    Wrapped blocks — source shard ``s + off`` outside ``[0, n)`` — have
+    their coordinate row pushed to ``-/+ float32.max``: on a non-periodic
+    domain their taper weight is zero anyway, and the sentinel coordinates
+    keep the concat sorted AND rank-inert in the window kernel (below /
+    above every support bound). Unlike :func:`_halo_offsets`, aliased
+    ``+/-off`` hops on small rings are included on BOTH sides, each masked
+    by its own wrap condition — on a non-periodic domain at most one side
+    is unwrapped per shard, so every real observation is visible exactly
+    once.
+    """
+    s = jax.lax.axis_index(axis_name)
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, packed.dtype)
+    blocks = []
+    for off in range(-halo_width, halo_width + 1):
+        if off == 0:
+            blocks.append(packed)
+            continue
+        # receiver s gets the block of shard (s + off)
+        blk = jax.lax.ppermute(
+            packed, axis_name,
+            perm=[(i, (i - off) % n_shards) for i in range(n_shards)],
+        )
+        if off > 0:
+            wrapped = s + off >= n_shards
+            fill = big
+        else:
+            wrapped = s + off < 0
+            fill = -big
+        coords = jnp.where(wrapped, fill, blk[coord_row])
+        blk = jnp.concatenate([blk[:coord_row], coords[None, :]], axis=0)
+        blocks.append(blk)
+    return jnp.concatenate(blocks, axis=-1)
+
+
 def _ring_halo_rdma(packed: jnp.ndarray, axis_name: str, n_shards: int,
                     halo_width: int,
                     interpret: bool | None = None) -> jnp.ndarray:
@@ -270,12 +311,27 @@ def halo_letkf_analysis(
     use_pallas: bool = False,
     cheb_degree: int = 16,
     comm: str = "ppermute",
+    local_method: str = "topk",
 ) -> Callable:
     """Build a jitted obs-sharded LETKF analysis over ``mesh``.
 
     ``comm``: ``"ppermute"`` — XLA ring collectives (default);
     ``"rdma"`` — the halo exchange as one Pallas kernel of concurrent
     inter-chip remote DMAs (:func:`_ring_halo_rdma`), bit-identical blocks.
+
+    ``local_method``: ``"topk"`` (default) — dense taper over all halo
+    candidates + ``top_k`` neighborhood selection per column (any
+    localization / distance function). ``"window"`` — each shard runs the
+    monolithic sorted-window kernel
+    (:func:`tpu_assim.ops.pallas.letkf.letkf_window_analysis_fused`) on its
+    halo candidates: no dense [g_loc, o_cand] taper, no top_k, no gather —
+    the fast path for 1-D non-periodic Gaspari-Cohn localization with
+    coordinate-sorted obs (requirements checked at build time where
+    possible; sortedness violations NaN-poison loudly inside the kernel).
+    Pad slots are pinned to the shard's right grid edge (values are
+    already zeroed, so they contribute nothing but do consume window
+    slots — size ``max_obs`` with headroom when shard obs counts are
+    unbalanced; the kernel's strict guard stays loud).
 
     Returns
     -------
@@ -301,6 +357,32 @@ def halo_letkf_analysis(
         )
     n_shards = int(mesh.shape[axis_name])
 
+    if local_method not in ("topk", "window"):
+        raise ValueError(
+            f"local_method must be 'topk' or 'window', got {local_method!r}"
+        )
+    if local_method == "window":
+        import numpy as np
+
+        from tpu_assim.ops.localization import GaspariCohnInf
+
+        if not hasattr(localization, "radius"):
+            raise TypeError(
+                "local_method='window' needs a Gaspari-Cohn localization "
+                "(single radius); got {0}".format(type(localization))
+            )
+        radius_arr = np.atleast_1d(np.asarray(localization.radius))
+        if radius_arr.size != 1:
+            raise ValueError(
+                "local_method='window' supports a single localization "
+                "radius; got {0}".format(radius_arr)
+            )
+        _win_radius = float(radius_arr[0])
+        _win_taper = (
+            "gcinf" if isinstance(localization, GaspariCohnInf) else "gc2"
+        )
+        _win_eps = float(localization.epsilon)
+
     def local_fn(state_loc, vals, var, lidx, ocoords, valid, gcoords, rho):
         k = state_loc.shape[0]
         # local obs equivalents from the local grid block
@@ -323,6 +405,46 @@ def halo_letkf_analysis(
             rcinv = 1.0 / jnp.sqrt(var)
             perts = (ens_obs - mean) * rcinv * valid          # [k, o_ps]
             innov = (vals - mean[0]) * rcinv * valid          # [o_ps]
+        if local_method == "window":
+            # Windowed local solve: pack [perts | innov | x], pin pad-slot
+            # coordinates to the shard's right grid edge (their values are
+            # zeroed above, so a selected pad contributes exactly nothing;
+            # the edge coordinate keeps the concat of neighboring blocks
+            # sorted), halo-exchange in ascending ring order, and run the
+            # monolithic window kernel on the candidates — no dense taper,
+            # no top_k, no gather.
+            from tpu_assim.ops.pallas.letkf import (
+                letkf_window_analysis_fused,
+            )
+
+            # Pad coordinate: >= every real obs of this shard and <= every
+            # real obs of the next (obs bucketing is monotone in
+            # coordinate), so the cross-block concat stays sorted: the max
+            # valid obs coordinate, or the shard's left grid edge when the
+            # shard owns no obs. Sortedness violations (unsorted input obs)
+            # NaN-poison inside the kernel — loud, never silently wrong.
+            big = jnp.asarray(jnp.finfo(jnp.float32).max, ocoords.dtype)
+            pad_x = jnp.maximum(
+                jnp.max(jnp.where(valid > 0, ocoords[:, 0], -big)),
+                jnp.min(gcoords[:, 0]).astype(ocoords.dtype),
+            )
+            obs_x = jnp.where(valid > 0, ocoords[:, 0], pad_x)
+            packed_w = jnp.concatenate(
+                [perts, innov[None, :], obs_x[None, :]], axis=0
+            )
+            cand = _ring_halo_sorted(
+                packed_w, k + 1, axis_name, n_shards, halo_width
+            )
+            mean_s = jnp.mean(state_loc, axis=0)
+            sp = state_loc - mean_s[None, :]
+            reg = jnp.asarray(k - 1, state_loc.dtype) / rho
+            out = letkf_window_analysis_fused(
+                cand[:k], cand[k], cand[k + 1], gcoords[:, 0], sp, mean_s,
+                reg, _win_radius, k, nb=max_obs, degree=cheb_degree,
+                taper=_win_taper, epsilon=_win_eps,
+            )
+            return out.astype(state_loc.dtype)
+
         # pack [perts | innov | valid | coords^T] and halo-exchange
         packed = jnp.concatenate(
             [perts, innov[None, :], valid[None, :], ocoords.T], axis=0
@@ -404,7 +526,8 @@ def halo_letkf_analysis(
             # pallas_call outputs carry no varying-mesh-axes metadata, so
             # the manual check is disabled only on the Pallas/RDMA branches;
             # the plain-XLA branch keeps it
-            check_vma=not (use_pallas or comm == "rdma"),
+            check_vma=not (use_pallas or comm == "rdma"
+                           or local_method == "window"),
         )
         return sharded(
             state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
