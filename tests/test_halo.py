@@ -311,6 +311,67 @@ class TestHalo2D:
             np.asarray(result).reshape(ens, -1), np.asarray(expected), **TOL
         )
 
+    def test_2d_windowed_local_solve_matches_dense(self, rng):
+        """local_method='window' on the 2-D torus: per-tile monolithic
+        fused2d kernel over the masked halo candidates (wrap/pad sentinels;
+        the kernel re-sorts internally) must match the dense analysis at
+        the f32 kernel floor."""
+        from jax.sharding import Mesh
+        from tpu_assim.parallel.halo import (
+            halo_letkf_analysis_2d, shard_observations_2d)
+
+        ens, n_rows, n_cols = 8, 16, 24
+        (state2d, obs_vals, obs_var, obs_ij, grid_coords,
+         obs_coords) = self._workload_2d(rng, ens, n_rows, n_cols)
+        radius = 3.0
+        loc = GaspariCohn((radius,), self._dist2d)
+
+        flat_idx = (obs_ij[:, 0] * n_cols + obs_ij[:, 1]).astype(np.int32)
+        dense = make_letkf_analysis(loc, inf_factor=1.1)
+        expected = dense(
+            jnp.asarray(state2d.reshape(ens, -1)), jnp.asarray(obs_vals),
+            jnp.asarray(obs_var), jnp.asarray(flat_idx),
+            jnp.asarray(grid_coords.reshape(-1, 2)), jnp.asarray(obs_coords),
+        )
+
+        mesh_shape = (2, 4)
+        devices = np.asarray(jax.devices()[:8]).reshape(mesh_shape)
+        mesh = Mesh(devices, ("row", "col"))
+        vals, var, lidx, coords, valid, p = shard_observations_2d(
+            obs_vals, obs_var, obs_ij, obs_coords,
+            (n_rows, n_cols), mesh_shape,
+        )
+        # y-band block bound: all 9 neighborhood blocks (loose is fine —
+        # too-small blocks NaN-poison, never truncate silently)
+        blk = -(-9 * p // 8) * 8
+        analyse = halo_letkf_analysis_2d(
+            mesh, loc, max_obs=40, grid_shape=(n_rows, n_cols),
+            halo=(1, 1), inf_factor=1.1, local_method="window",
+            obs_block=blk, cheb_degree=32,
+        )
+        result = analyse(
+            jnp.asarray(state2d), jnp.asarray(vals), jnp.asarray(var),
+            jnp.asarray(lidx), jnp.asarray(coords), jnp.asarray(valid),
+            jnp.asarray(grid_coords),
+        )
+        out = np.asarray(result).reshape(ens, -1)
+        assert np.isfinite(out).all()
+        np.testing.assert_allclose(out, np.asarray(expected),
+                                   rtol=5e-4, atol=5e-5)
+
+    def test_2d_windowed_requires_obs_block(self):
+        from jax.sharding import Mesh
+        from tpu_assim.parallel.halo import halo_letkf_analysis_2d
+
+        loc = GaspariCohn((3.0,), self._dist2d)
+        devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devices, ("row", "col"))
+        with pytest.raises(ValueError, match="obs_block"):
+            halo_letkf_analysis_2d(
+                mesh, loc, max_obs=8, grid_shape=(16, 24),
+                local_method="window",
+            )
+
     def test_2d_obs_bucketing(self, rng):
         from tpu_assim.parallel.halo import shard_observations_2d
 

@@ -229,6 +229,56 @@ class TestRdmaCompiledSmoke:
         assert compiled is not None
 
 
+class TestWindowedHaloCompiled:
+    """The windowed halo local solve (local_method='window': sorted ring
+    concat + per-shard monolithic window kernel) compiled and RUN on the
+    chip with a 1-device mesh — ppermute on a singleton ring executes
+    fine (unlike the RDMA launch barrier), so this covers the full
+    compiled path: wrap sentinels, pad pinning, and the Mosaic kernel."""
+
+    @if_tpu_decorator
+    def test_windowed_halo_runs_compiled(self, rng):
+        from jax.sharding import Mesh
+
+        from tpu_assim.analysis import make_letkf_analysis
+        from tpu_assim.ops.localization import GaspariCohn
+        from tpu_assim.parallel.halo import (
+            halo_letkf_analysis, halo_width_for, shard_observations)
+
+        def dist(gc, oi):
+            return jnp.abs(oi[:, 1] - gc[1])[None, :]
+
+        k, g, o, radius = 10, 512, 64, 8.0
+        state = rng.randn(k, g).astype("f4")
+        obs_idx = np.sort(rng.choice(g, size=o, replace=False)).astype("i4")
+        obs_vals = rng.randn(o).astype("f4")
+        obs_var = np.ones(o, dtype="f4")
+        grid_coords = np.arange(g, dtype="f4")[:, None]
+        obs_coords = grid_coords[obs_idx]
+        loc = GaspariCohn((radius,), dist)
+
+        dense = make_letkf_analysis(loc, inf_factor=1.1, method="eigh",
+                                    chunksize=None)
+        expected = np.asarray(dense(
+            jnp.asarray(state), jnp.asarray(obs_vals), jnp.asarray(obs_var),
+            jnp.asarray(obs_idx), jnp.asarray(grid_coords),
+            jnp.asarray(obs_coords)))
+
+        mesh = Mesh(np.array(jax.devices()[:1]), ("grid",))
+        vals, var, lidx, coords, valid, _ = shard_observations(
+            obs_vals, obs_var, obs_idx, obs_coords, g, 1)
+        analyse = halo_letkf_analysis(
+            mesh, loc, max_obs=24,
+            halo_width=halo_width_for(radius, float(g)), inf_factor=1.1,
+            local_method="window", cheb_degree=32)
+        out = np.asarray(analyse(
+            jnp.asarray(state), jnp.asarray(vals), jnp.asarray(var),
+            jnp.asarray(lidx), jnp.asarray(coords), jnp.asarray(valid),
+            jnp.asarray(grid_coords)))
+        assert np.isfinite(out).all()
+        np.testing.assert_allclose(out, expected, rtol=5e-3, atol=5e-4)
+
+
 class TestJacobiCompiled:
     """The Brent-Luk fori_loop kernel is the DEFAULT TPU eigh dispatch
     (ops/linalg.py:eigh_psd). Measured on v5e 2026-08-20

@@ -637,6 +637,41 @@ def _ring_halo_2d(packed, row_axis, col_axis, mesh_rows, mesh_cols,
     return jnp.concatenate(col_blocks, axis=-1)
 
 
+def _ring_halo_2d_masked(packed, coord_start, row_axis, col_axis,
+                         mesh_rows, mesh_cols, halo_r, halo_c):
+    """2-D halo exchange for the windowed local solve: every block whose
+    source tile wrapped around the torus on either axis gets its coordinate
+    rows (``packed[coord_start:]``) pushed to ``+float32.max`` — on a
+    non-periodic domain wrapped candidates carry zero taper weight, and the
+    sentinel removes them from every y-band of the 2-D window kernel
+    (which re-sorts internally, so no ordering contract is needed).
+    Aliased ``+/-off`` hops on small rings are included on BOTH sides, each
+    masked by its own wrap condition (at most one side is unwrapped per
+    tile on a non-periodic domain, so every real obs appears exactly once).
+    """
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, packed.dtype)
+
+    def exchange(block, axis_name, n, width):
+        s = jax.lax.axis_index(axis_name)
+        out = []
+        for off in range(-width, width + 1):
+            if off == 0:
+                out.append(block)
+                continue
+            blk = jax.lax.ppermute(
+                block, axis_name,
+                perm=[(i, (i - off) % n) for i in range(n)],
+            )
+            wrapped = (s + off >= n) if off > 0 else (s + off < 0)
+            coords = jnp.where(wrapped, big, blk[coord_start:])
+            blk = jnp.concatenate([blk[:coord_start], coords], axis=0)
+            out.append(blk)
+        return jnp.concatenate(out, axis=-1)
+
+    row_cat = exchange(packed, row_axis, mesh_rows, halo_r)
+    return exchange(row_cat, col_axis, mesh_cols, halo_c)
+
+
 def halo_letkf_analysis_2d(
     mesh: Mesh,
     localization,
@@ -650,6 +685,8 @@ def halo_letkf_analysis_2d(
     col_axis: str = "col",
     use_pallas: bool = False,
     cheb_degree: int = 16,
+    local_method: str = "topk",
+    obs_block: int = 0,
 ) -> Callable:
     """Obs-sharded LETKF over a 2-D (row, col) domain decomposition.
 
@@ -669,6 +706,36 @@ def halo_letkf_analysis_2d(
     m_rows = mesh.shape[row_axis]
     m_cols = mesh.shape[col_axis]
     halo_r, halo_c = halo
+
+    if local_method not in ("topk", "window"):
+        raise ValueError(
+            f"local_method must be 'topk' or 'window', got {local_method!r}"
+        )
+    if local_method == "window":
+        import numpy as _np
+
+        from tpu_assim.ops.localization import GaspariCohnInf
+
+        if obs_block <= 0:
+            raise ValueError(
+                "local_method='window' needs obs_block > 0 — compute it "
+                "from the global workload with required_obs_block_2d "
+                "(a loose bound is fine; too-small blocks NaN-poison "
+                "loudly, never truncate silently)"
+            )
+        if not hasattr(localization, "radius"):
+            raise TypeError(
+                "local_method='window' needs a Gaspari-Cohn localization; "
+                "got {0}".format(type(localization))
+            )
+        _radii = _np.atleast_1d(_np.asarray(localization.radius,
+                                            dtype=float))
+        _win_rx = float(_radii[0])
+        _win_ry = float(_radii[1] if _radii.size > 1 else _radii[-1])
+        _win_taper = (
+            "gcinf" if isinstance(localization, GaspariCohnInf) else "gc2"
+        )
+        _win_eps = float(localization.epsilon)
 
     def local_fn(state_loc, vals, var, lidx, ocoords, valid, gcoords, rho):
         k, tr, tc = state_loc.shape
@@ -690,6 +757,42 @@ def halo_letkf_analysis_2d(
             rcinv = 1.0 / jnp.sqrt(var)
             perts = (ens_obs - mean) * rcinv * valid
             innov = (vals - mean[0]) * rcinv * valid
+        if local_method == "window":
+            # Windowed local solve: per-tile monolithic 2-D window kernel
+            # on the halo candidates (band/window selection + product taper
+            # + Chebyshev solve fused; the kernel re-sorts obs internally,
+            # so only wrap/pad masking is needed). Obs coordinate columns
+            # must be (x, y[, extra...]) matching the grid coords.
+            from tpu_assim.ops.pallas.letkf import (
+                letkf_window_analysis_fused_2d,
+            )
+
+            big = jnp.asarray(jnp.finfo(jnp.float32).max, ocoords.dtype)
+            ocoords_w = jnp.where(valid[:, None] > 0, ocoords, big)
+            packed_w = jnp.concatenate(
+                [perts, innov[None, :], ocoords_w.T], axis=0
+            )
+            cand_w = _ring_halo_2d_masked(
+                packed_w, k + 1, row_axis, col_axis, m_rows, m_cols,
+                halo_r, halo_c,
+            )
+            mean_s = jnp.mean(state_flat, axis=0)
+            sp = state_flat - mean_s[None, :]
+            reg = jnp.asarray(k - 1, state_loc.dtype) / rho
+            n_dims = ocoords.shape[1]
+            extra = tuple(
+                float(_radii[j] if j < _radii.size else _radii[-1])
+                for j in range(2, n_dims)
+            )
+            gflat2 = gcoords.reshape(tr * tc, -1)
+            out = letkf_window_analysis_fused_2d(
+                cand_w[:k], cand_w[k], cand_w[k + 1:].T, gflat2,
+                sp, mean_s, reg, _win_rx, _win_ry, k,
+                obs_block=obs_block, nb=max_obs, degree=cheb_degree,
+                taper=_win_taper, epsilon=_win_eps, extra_radii=extra,
+            )
+            return out.reshape(k, tr, tc).astype(state_loc.dtype)
+
         packed = jnp.concatenate(
             [perts, innov[None, :], valid[None, :], ocoords.T], axis=0
         )
@@ -760,7 +863,7 @@ def halo_letkf_analysis_2d(
             ),
             out_specs=P(None, row_axis, col_axis),
             # see halo_letkf_analysis: check disabled only for Pallas
-            check_vma=not use_pallas,
+            check_vma=not (use_pallas or local_method == 'window'),
         )
         return sharded(
             state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
