@@ -28,11 +28,13 @@ one fixed mask/shift select), so the whole iteration is ONE
 shrinks from ~5K strided slices to ~9 rolls.
 
 Measured on v5e (2026-08-20, scripts/validate_jacobi.py /
-scripts/jacobi_sweeps.py, [10^4, 40, 40] f32, incl. a 24-fold degenerate
-cluster): eigenvector orthogonality ~1e-5 compiled, reconstruction
-~1e-4..2e-4 relative (the f32 roundoff floor), 317 ms at the default 7
-sweeps vs 1016 ms for XLA's batched eigh — 3.2x. This is the default
-TPU dispatch for :func:`tpu_assim.ops.linalg.eigh_psd`.
+scripts/jacobi_sweeps.py / scripts/exp_jacobi_ops.py, [10^4, 40, 40] f32,
+incl. a 24-fold degenerate cluster): eigenvector orthogonality ~1e-5
+compiled, reconstruction ~1e-4..2e-4 relative (the f32 roundoff floor),
+171 ms at the default 7 sweeps vs 1016 ms for XLA's batched eigh — 5.9x
+(297 ms before the untiled-axis pairswap/re-seat forms and the
+transposed-V carry). This is the default TPU dispatch for
+:func:`tpu_assim.ops.linalg.eigh_psd`.
 
 Jacobi is also the *accurate* choice: quadratic convergence once nearly
 diagonal and high relative accuracy for small eigenvalues — the property
@@ -89,6 +91,18 @@ def _pairswap(x, axis, k):
     return jnp.where(p % 2 == 0, nxt, prv)
 
 
+def _pairswap0(x, k):
+    """pairswap along the LEADING (untiled) axis via the (K/2, 2) seat
+    split + a stack-swap of the size-2 axis: pure untiled reindexing — no
+    full-width rolls or selects (Mosaic has no rev, hence the stack).
+    Bitwise-identical permutation to ``_pairswap(x, 0, k)``; 3 full-tensor
+    ops -> ~1."""
+    s = x.shape
+    y = x.reshape((k // 2, 2) + s[1:])
+    y = jnp.stack([y[:, 1], y[:, 0]], axis=1)
+    return y.reshape(s)
+
+
 def _perm_round(x, axis, k):
     """The tournament re-seating along ``axis``: seat 0 fixed, everyone
     else one step around the ring. new[p] = old[src(p)] with
@@ -102,6 +116,26 @@ def _perm_round(x, axis, k):
     out = jnp.where(p % 2 == 0, r2p, r2m)
     out = jnp.where((p == 2) | (p == k - 1), r1p, out)
     return jnp.where(p == 0, x, out)
+
+
+def _perm_round0(x, k):
+    """Tournament re-seating along the LEADING (untiled) axis via the
+    (K/2, 2) seat split: even seats roll +1 in the pair index, odd seats
+    roll -1, patch seats 0, 2, K-1 — half-tensor rolls + small selects
+    instead of three full-tensor rolls + three full-tensor selects.
+    Bitwise-identical permutation to ``_perm_round(x, 0, k)``."""
+    if k == 2:
+        return x
+    s = x.shape
+    y = x.reshape((k // 2, 2) + s[1:])
+    ev = jnp.roll(y[:, 0], 1, axis=0)     # new even seats 2i <- old 2i-2
+    od = jnp.roll(y[:, 1], -1, axis=0)    # new odd seats 2i+1 <- old 2i+3
+    i = _mask_iota(ev.ndim, 0, k // 2)
+    ev = jnp.where(i == 0, y[0, 0][None], ev)               # seat 0 fixed
+    ev = jnp.where(i == 1, y[0, 1][None], ev)               # seat 2 <- 1
+    od = jnp.where(i == k // 2 - 1, y[k // 2 - 1, 0][None],
+                   od)                                      # seat K-1 <- K-2
+    return jnp.stack([ev, od], axis=1).reshape(s)
 
 
 def _jacobi_kernel(a_ref, evals_ref, evecs_ref, *, k, sweeps):
@@ -127,8 +161,8 @@ def _jacobi_kernel(a_ref, evals_ref, evecs_ref, *, k, sweeps):
         # partners would otherwise compute structurally different
         # rotations — a non-orthogonal G that corrupts eigenvalues by
         # ~1e-5. One shared value keeps t_q == -t_p bitwise.
-        o = 0.5 * (o + _pairswap(o, 0, k))
-        dq = _pairswap(d, 0, k)
+        o = 0.5 * (o + _pairswap0(o, k))
+        dq = _pairswap0(d, k)
         o_safe = jnp.where(jnp.abs(o) > eps, o, 1.0)
         tau = (dq - d) / (2.0 * o_safe)
         t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
@@ -156,19 +190,26 @@ def _jacobi_kernel(a_ref, evals_ref, evecs_ref, *, k, sweeps):
         live = jnp.abs(o) > tol
         c = jnp.where(live, c, 1.0)
         s = jnp.where(live, s, 0.0)
-        a = c[:, None, :] * a - s[:, None, :] * _pairswap(a, 0, k)
+        a = c[:, None, :] * a - s[:, None, :] * _pairswap0(a, k)
         a = c[None, :, :] * a - s[None, :, :] * _pairswap(a, 1, k)
-        v = c[None, :, :] * v - s[None, :, :] * _pairswap(v, 1, k)
+        # V is carried TRANSPOSED ([column-seat, row, T]): its rotated /
+        # re-seated axis is the leading untiled one, so both its update
+        # ops use the cheap (K/2, 2)-split forms — 298 -> 171 ms at
+        # [10^4, 40, 40] f32 together with the untiled-axis forms on A
+        # (scripts/exp_jacobi_ops.py); one transpose at the end pays it
+        # back. Bitwise-identical results (same permutations, same
+        # arithmetic per element).
+        v = c[:, None, :] * v - s[:, None, :] * _pairswap0(v, k)
         # re-seat for the next round (composes to identity every K-1
         # rounds, i.e. after every whole sweep)
-        a = _perm_round(a, 0, k)
+        a = _perm_round0(a, k)
         a = _perm_round(a, 1, k)
-        v = _perm_round(v, 1, k)
+        v = _perm_round0(v, k)
         return a, v
 
     a, v = jax.lax.fori_loop(0, sweeps * (k - 1), round_body, (a, v))
     evals_ref[:] = jnp.sum(a * eye2[:, :, None], axis=1)[None]
-    evecs_ref[:] = v[None]
+    evecs_ref[:] = jnp.swapaxes(v, 0, 1)[None]
 
 
 @functools.partial(
@@ -186,7 +227,7 @@ def eigh_jacobi(
     ----------
     a : [..., K, K] symmetric matrices (any leading batch shape).
     sweeps : full Jacobi sweeps (each = K - 1 parallel rounds covering
-        every pair once). Runtime is linear in sweeps (~43 ms per sweep at
+        every pair once). Runtime is linear in sweeps (~24 ms per sweep at
         [10^4, 40, 40] f32 on v5e); the default 7 is converged at K = 40
         (reconstruction at the f32 floor; sweeps=8 buys ~2x on
         condition-1e4 spectra at +13% time — scripts/jacobi_sweeps.py).
