@@ -132,10 +132,13 @@ def fused1d_bytes_estimate(k, g, o, nb, degree, tile=128, obs_block=None,
 
 def exact_nb(worst: int, mult: int = 4, floor: int = 8) -> int:
     """Smallest window size that is EXACT for the workload: the host-side
-    in-support maximum (max_in_support_1d/_2d) rounded up to a sublane-
-    friendly multiple. The kernels' strict guards independently verify the
-    bound at run time (NaN-poison + host-side raise on violation), so this
-    is a measured configuration, not an approximation."""
+    in-support maximum (max_in_support_1d/_2d) rounded up to a multiple of
+    ``mult``. mult=4 deliberately under-fills the f32 sublane width (8):
+    every acc-form solve loop issues ops per window slot, so nb=12 beats a
+    sublane-aligned nb=16 even though [nb, ...] buffers pad to 16 sublanes.
+    The kernels' strict guards independently verify the bound at run time
+    (NaN-poison + host-side raise on violation), so this is a measured
+    configuration, not an approximation."""
     return max(-(-worst // mult) * mult, floor)
 
 
@@ -171,15 +174,26 @@ def _chain_time(step, args, reps=20, trials=3, r1=None):
     n1 = jnp.asarray(r1, jnp.int32)
     n2 = jnp.asarray(reps, jnp.int32)
     _np.asarray(looped(acc0, n1, *args))  # warmup/compile (shared trace)
-    t_lo = t_hi = float("inf")
+    # Per-trial PAIRED slopes (t_lo, t_hi measured back to back), then the
+    # min slope over trials: differencing independent minima can pair a
+    # lucky t_lo with an unlucky t_hi and produce a noisy or negative
+    # slope on tiny rep spans. Non-positive slopes are discarded.
+    slopes = []
     for _ in range(trials):
         t0 = time.perf_counter()
         _np.asarray(looped(acc0, n1, *args))
-        t_lo = min(t_lo, time.perf_counter() - t0)
+        t_lo = time.perf_counter() - t0
         t0 = time.perf_counter()
         _np.asarray(looped(acc0, n2, *args))
-        t_hi = min(t_hi, time.perf_counter() - t0)
-    return (t_hi - t_lo) / (reps - r1)
+        t_hi = time.perf_counter() - t0
+        slope = (t_hi - t_lo) / (reps - r1)
+        if slope > 0:
+            slopes.append(slope)
+    if not slopes:
+        raise RuntimeError(
+            "no positive timing slope measured — raise reps or trials"
+        )
+    return min(slopes)
 
 
 def run_all_configs():

@@ -23,6 +23,8 @@ __all__ = [
     "matrix_product",
     "diagonal_add",
     "eigh_psd",
+    "set_jacobi_dispatch",
+    "jacobi_dispatch_enabled",
     "inv_and_inv_sqrt_psd_eigh",
     "inv_sqrt_psd_newton",
     "sqrt_and_inv_sqrt_psd_newton",
@@ -101,7 +103,36 @@ def diagonal_add(tensor: jnp.ndarray, to_add: jnp.ndarray | float = 0.0) -> jnp.
     return tensor + to_add * eye
 
 
-def eigh_psd(tensor: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+_jacobi_dispatch: Optional[bool] = None  # None = take the env-var default
+
+
+def set_jacobi_dispatch(enabled: Optional[bool]) -> None:
+    """Set the process-wide default for the Pallas-Jacobi eigh dispatch.
+
+    ``True``/``False`` force the dispatch on/off for subsequent *traces*;
+    ``None`` restores the environment default (``TPU_ASSIM_JACOBI``, on
+    unless set to ``"0"``). Functions that were already jit-compiled keep
+    the backend they were traced with — call sites that need per-call
+    control should pass ``use_jacobi=`` to :func:`eigh_psd` explicitly and
+    thread it through their jit as a static argument.
+    """
+    global _jacobi_dispatch
+    _jacobi_dispatch = enabled
+
+
+def jacobi_dispatch_enabled() -> bool:
+    """Resolve the current default for the Pallas-Jacobi dispatch
+    (explicit :func:`set_jacobi_dispatch` value, else ``TPU_ASSIM_JACOBI``)."""
+    import os
+
+    if _jacobi_dispatch is not None:
+        return _jacobi_dispatch
+    return os.environ.get("TPU_ASSIM_JACOBI", "1") != "0"
+
+
+def eigh_psd(
+    tensor: jnp.ndarray, use_jacobi: Optional[bool] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched symmetric eigendecomposition.
 
     Same convention as :func:`jnp.linalg.eigh` (ascending eigenvalues,
@@ -111,23 +142,28 @@ def eigh_psd(tensor: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     Dispatch: large f32 [B, K, K] batches on TPU go to the Pallas
     parallel-Jacobi kernel by DEFAULT
     (:func:`tpu_assim.ops.pallas.jacobi.eigh_jacobi`): XLA's batched eigh
-    costs ~1.0 s for [10^4, 40, 40] f32 on v5e, the Jacobi kernel 0.32 s
-    with eigenvectors (3.2x; compile ~13 s, measured 2026-08-20 —
+    costs ~1.0 s for [10^4, 40, 40] f32 on v5e, the Jacobi kernel 171 ms
+    with eigenvectors (5.9x; compile ~7-13 s, measured 2026-08-20 —
     scripts/validate_jacobi.py). Compiled-f32 quality at that shape:
     eigenvector orthogonality ~1e-5 (incl. a 24-fold degenerate cluster),
-    reconstruction ~1e-4..2e-4 relative — the f32 roundoff floor. Set
-    ``TPU_ASSIM_JACOBI=0`` to force the stock XLA path. Everything else
-    (f64 parity paths on CPU, tiny batches, K > 64) stays on
-    ``jnp.linalg.eigh``.
-    """
-    import os
+    reconstruction ~1e-4..2e-4 relative — the f32 roundoff floor.
+    Everything else (f64 parity paths on CPU, tiny batches, K > 64) stays
+    on ``jnp.linalg.eigh``.
 
+    ``use_jacobi`` controls the dispatch explicitly (a *static*, trace-time
+    choice — the two backends are different compiled programs); ``None``
+    defers to :func:`set_jacobi_dispatch` / the ``TPU_ASSIM_JACOBI`` env
+    var. Note that flipping the env var after a caller has been
+    jit-compiled cannot retroactively change that caller's backend.
+    """
+    if use_jacobi is None:
+        use_jacobi = jacobi_dispatch_enabled()
     k = tensor.shape[-1]
     batch = 1
     for dim in tensor.shape[:-2]:
         batch *= dim
     if (
-        os.environ.get("TPU_ASSIM_JACOBI", "1") != "0"
+        use_jacobi
         and tensor.dtype == jnp.float32
         and tensor.ndim >= 3
         and k <= 64

@@ -325,13 +325,19 @@ def halo_letkf_analysis(
     monolithic sorted-window kernel
     (:func:`tpu_assim.ops.pallas.letkf.letkf_window_analysis_fused`) on its
     halo candidates: no dense [g_loc, o_cand] taper, no top_k, no gather —
-    the fast path for 1-D non-periodic Gaspari-Cohn localization with
-    coordinate-sorted obs (requirements checked at build time where
-    possible; sortedness violations NaN-poison loudly inside the kernel).
-    Pad slots are pinned to the shard's right grid edge (values are
-    already zeroed, so they contribute nothing but do consume window
-    slots — size ``max_obs`` with headroom when shard obs counts are
-    unbalanced; the kernel's strict guard stays loud).
+    the fast path for 1-D NON-PERIODIC Gaspari-Cohn localization with
+    coordinate-sorted obs. NOTE the window path replaces the
+    localization's ``dist_fn`` with plain ``|obs_x - grid_x|`` coordinate
+    distance and masks ring-wrapped candidates out — a periodic or custom
+    distance that works under ``"topk"`` gives different (finite) results
+    here, so a warning is emitted when ``localization.dist_fn`` is set.
+    Requirements are checked at build time where possible; sortedness
+    violations NaN-poison loudly inside the kernel. Pad slots are pinned
+    to the shard's max valid obs coordinate (the shard's LEFT grid edge
+    when it owns no obs; values are already zeroed, so a selected pad
+    contributes nothing but does consume window slots — size ``max_obs``
+    with headroom when shard obs counts are unbalanced; the kernel's
+    strict guard stays loud).
 
     Returns
     -------
@@ -382,6 +388,16 @@ def halo_letkf_analysis(
             "gcinf" if isinstance(localization, GaspariCohnInf) else "gc2"
         )
         _win_eps = float(localization.epsilon)
+        if getattr(localization, "dist_fn", None) is not None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "local_method='window' ignores the localization's dist_fn: "
+                "the window kernel uses plain |obs_x - grid_x| coordinate "
+                "distance and masks ring-wrapped candidates (non-periodic "
+                "domains only). Use local_method='topk' for periodic or "
+                "custom distances."
+            )
 
     def local_fn(state_loc, vals, var, lidx, ocoords, valid, gcoords, rho):
         k = state_loc.shape[0]
@@ -407,12 +423,13 @@ def halo_letkf_analysis(
             innov = (vals - mean[0]) * rcinv * valid          # [o_ps]
         if local_method == "window":
             # Windowed local solve: pack [perts | innov | x], pin pad-slot
-            # coordinates to the shard's right grid edge (their values are
-            # zeroed above, so a selected pad contributes exactly nothing;
-            # the edge coordinate keeps the concat of neighboring blocks
-            # sorted), halo-exchange in ascending ring order, and run the
-            # monolithic window kernel on the candidates — no dense taper,
-            # no top_k, no gather.
+            # coordinates to the shard's max valid obs coordinate (left
+            # grid edge when the shard owns no obs; their values are zeroed
+            # above, so a selected pad contributes exactly nothing, and the
+            # pinning keeps the concat of neighboring blocks sorted),
+            # halo-exchange in ascending ring order, and run the monolithic
+            # window kernel on the candidates — no dense taper, no top_k,
+            # no gather.
             from tpu_assim.ops.pallas.letkf import (
                 letkf_window_analysis_fused,
             )
@@ -736,6 +753,19 @@ def halo_letkf_analysis_2d(
             "gcinf" if isinstance(localization, GaspariCohnInf) else "gc2"
         )
         _win_eps = float(localization.epsilon)
+        # Same constraint as the 1-D builder: the window path uses plain
+        # per-dimension |obs - grid| coordinate distances (non-periodic
+        # domains), ignoring any custom dist_fn.
+        if getattr(localization, "dist_fn", None) is not None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "local_method='window' ignores the localization's dist_fn: "
+                "the 2-D window kernel uses per-dimension |obs - grid| "
+                "coordinate distances and masks torus-wrapped candidates "
+                "(non-periodic domains only). Use local_method='topk' for "
+                "periodic or custom distances."
+            )
 
     def local_fn(state_loc, vals, var, lidx, ocoords, valid, gcoords, rho):
         k, tr, tc = state_loc.shape
