@@ -212,6 +212,141 @@ class TestHaloLETKF:
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), **TOL)
 
 
+class TestHaloAutoDegree:
+    """Auto Chebyshev degree + host-side exactness prechecks on the halo
+    builders (VERDICT r3 #3): the multi-chip entry points must be as safe
+    by default as the class API — degree truncation is the one error class
+    NaN-poisoning cannot catch."""
+
+    def _stacked_workload(self, rng, n_grid=64, n_base=10, stack=8):
+        """Smoother-style workload: every observation repeated ``stack``
+        times at the same coordinate (stacked obs times) with small obs
+        variance — tr(S) grows by the stack factor, so the spectral bound
+        (and the required degree) is far beyond the old pinned default of
+        16 (measured: auto picks ~96, pinned 16 truncates at ~5e-3)."""
+        state = rng.normal(size=(10, n_grid))
+        base_idx = np.sort(rng.choice(n_grid, size=n_base, replace=False))
+        obs_idx = np.repeat(base_idx, stack)
+        obs_vals = rng.normal(size=n_base * stack)
+        obs_var = np.full(n_base * stack, 0.3)
+        grid_coords = np.arange(n_grid, dtype=np.float64)[:, None]
+        obs_coords = grid_coords[obs_idx]
+        return state, obs_vals, obs_var, obs_idx, grid_coords, obs_coords
+
+    def test_auto_degree_matches_eigh_where_pinned_16_fails(self, rng):
+        state, obs_vals, obs_var, obs_idx, grid_coords, obs_coords = (
+            self._stacked_workload(rng)
+        )
+        n_grid = state.shape[1]
+        radius = 6.0
+        loc = GaspariCohn((radius,), _dist_fn)
+        dense = make_letkf_analysis(loc, inf_factor=1.1)
+        expected = np.asarray(dense(
+            jnp.asarray(state), jnp.asarray(obs_vals), jnp.asarray(obs_var),
+            jnp.asarray(obs_idx), jnp.asarray(grid_coords),
+            jnp.asarray(obs_coords),
+        ))
+        mesh = make_grid_mesh(4)
+        h = halo_width_for(radius, n_grid / 4)
+        vals, var, lidx, coords, valid, _ = shard_observations(
+            obs_vals, obs_var, obs_idx, obs_coords, n_grid, 4
+        )
+        args = (
+            jnp.asarray(state), jnp.asarray(vals), jnp.asarray(var),
+            jnp.asarray(lidx), jnp.asarray(coords), jnp.asarray(valid),
+            jnp.asarray(grid_coords),
+        )
+        # default args: cheb_degree=None auto-measures the spectral bound
+        auto = np.asarray(halo_letkf_analysis(
+            mesh, loc, max_obs=96, halo_width=h, inf_factor=1.1,
+            local_method="window",
+        )(*args))
+        scale = np.abs(expected).max()
+        err_auto = np.abs(auto - expected).max() / scale
+        assert err_auto < 1e-4
+        # the old pinned default demonstrably would not have matched
+        pinned = np.asarray(halo_letkf_analysis(
+            mesh, loc, max_obs=96, halo_width=h, inf_factor=1.1,
+            local_method="window", cheb_degree=16,
+        )(*args))
+        err_pinned = np.abs(pinned - expected).max() / scale
+        assert err_pinned > 100 * err_auto
+        assert err_pinned > 1e-3
+
+    def test_precheck_raises_on_slot_exhaustion(self, rng):
+        state, obs_vals, obs_var, obs_idx, grid_coords, obs_coords = (
+            self._stacked_workload(rng)
+        )
+        n_grid = state.shape[1]
+        loc = GaspariCohn((6.0,), _dist_fn)
+        mesh = make_grid_mesh(4)
+        vals, var, lidx, coords, valid, _ = shard_observations(
+            obs_vals, obs_var, obs_idx, obs_coords, n_grid, 4
+        )
+        analyse = halo_letkf_analysis(
+            mesh, loc, max_obs=8, halo_width=2, inf_factor=1.1,
+            local_method="window",
+        )
+        with pytest.raises(ValueError, match="in-support"):
+            analyse(
+                jnp.asarray(state), jnp.asarray(vals), jnp.asarray(var),
+                jnp.asarray(lidx), jnp.asarray(coords), jnp.asarray(valid),
+                jnp.asarray(grid_coords),
+            )
+
+    def test_auto_degree_requires_concrete_inputs(self, rng):
+        state, obs_vals, obs_var, obs_idx, grid_coords, obs_coords = _workload(
+            rng
+        )
+        loc = GaspariCohn((4.0,), _dist_fn)
+        mesh = make_grid_mesh(8)
+        vals, var, lidx, coords, valid, _ = shard_observations(
+            obs_vals, obs_var, obs_idx, obs_coords, 128, 8
+        )
+        analyse = halo_letkf_analysis(
+            mesh, loc, max_obs=32, halo_width=1, inf_factor=1.1,
+            local_method="window",
+        )
+
+        @jax.jit
+        def step(*a):
+            return analyse(*a)
+
+        with pytest.raises(ValueError, match="cheb_degree"):
+            step(
+                jnp.asarray(state), jnp.asarray(vals), jnp.asarray(var),
+                jnp.asarray(lidx), jnp.asarray(coords), jnp.asarray(valid),
+                jnp.asarray(grid_coords),
+            )
+
+    def test_auto_degree_matches_pinned_equivalent(self, rng):
+        """On the benign workload the auto path must agree with a pinned
+        degree >= the measured one (same kernel, same math)."""
+        state, obs_vals, obs_var, obs_idx, grid_coords, obs_coords = _workload(
+            rng
+        )
+        loc = GaspariCohn((4.0,), _dist_fn)
+        mesh = make_grid_mesh(8)
+        vals, var, lidx, coords, valid, _ = shard_observations(
+            obs_vals, obs_var, obs_idx, obs_coords, 128, 8
+        )
+        args = (
+            jnp.asarray(state), jnp.asarray(vals), jnp.asarray(var),
+            jnp.asarray(lidx), jnp.asarray(coords), jnp.asarray(valid),
+            jnp.asarray(grid_coords),
+        )
+        auto = halo_letkf_analysis(
+            mesh, loc, max_obs=32, halo_width=1, inf_factor=1.1,
+            local_method="window",
+        )(*args)
+        pinned = halo_letkf_analysis(
+            mesh, loc, max_obs=32, halo_width=1, inf_factor=1.1,
+            local_method="window", cheb_degree=48,
+        )(*args)
+        np.testing.assert_allclose(np.asarray(auto), np.asarray(pinned),
+                                   rtol=2e-5, atol=2e-6)
+
+
 class TestHaloChebKernel:
     def test_halo_pallas_matches_eigh_path(self, rng, monkeypatch):
         """The fused cheb kernel inside shard_map reproduces the eigh halo

@@ -385,6 +385,61 @@ class TestExactnessGuards:
                                        rtol=1e-6, atol=1e-6)
 
 
+class TestStaticGeometry:
+    """geometry=(obs_idx, grid_coords, obs_coords) binds the obs network
+    as XLA constants (the cycled-DA prologue amortization, VERDICT r3 #6):
+    the bound function must be bitwise-identical to the unbound path and
+    run the same host-side hardening at build time."""
+
+    def _workload(self, rng, g=512, o=64):
+        state = rng.randn(8, g)
+        obs_idx = np.sort(rng.choice(g, size=o, replace=False)).astype("i4")
+        obs_vals = rng.randn(o)
+        obs_var = np.ones(o)
+        grid_coords = np.arange(g, dtype=np.float64)[:, None]
+        obs_coords = grid_coords[obs_idx]
+        return state, obs_vals, obs_var, obs_idx, grid_coords, obs_coords
+
+    def test_bound_matches_unbound(self, rng):
+        from tpu_assim.analysis import make_letkf_analysis
+
+        w = self._workload(rng)
+        loc = GaspariCohn((8.0,), coord_dist)
+        unbound = make_letkf_analysis(loc, 1.1, method="fused1d",
+                                      max_obs=16, cheb_degree=16)
+        bound = make_letkf_analysis(loc, 1.1, method="fused1d",
+                                    max_obs=16, cheb_degree=16,
+                                    geometry=(w[3], w[4], w[5]))
+        a = np.asarray(unbound(*(jnp.asarray(x) for x in w)))
+        b = np.asarray(bound(jnp.asarray(w[0]), jnp.asarray(w[1]),
+                             jnp.asarray(w[2])))
+        np.testing.assert_array_equal(a, b)
+
+    def test_bound_hardening_raises_at_build(self, rng):
+        from tpu_assim.analysis import make_letkf_analysis
+
+        w = self._workload(rng)
+        loc = GaspariCohn((8.0,), coord_dist)
+        with pytest.raises(ValueError, match="in-support"):
+            make_letkf_analysis(loc, 1.1, method="fused1d", max_obs=2,
+                                geometry=(w[3], w[4], w[5]))
+
+    def test_bound_cycle_step(self, rng):
+        from tpu_assim.analysis import make_cycle_step, make_letkf_analysis
+        from tpu_assim.models import Lorenz96, RK4Integrator
+
+        w = self._workload(rng, g=128, o=24)
+        loc = GaspariCohn((8.0,), coord_dist)
+        cyc = make_cycle_step(
+            RK4Integrator(Lorenz96(), dt=0.01), 2, loc, inf_factor=1.1,
+            method="fused1d", max_obs=16,
+            geometry=(w[3], w[4], w[5]),
+        )
+        out = cyc(jnp.asarray(w[0]), jnp.asarray(w[1]), jnp.asarray(w[2]))
+        assert out.shape == w[0].shape
+        assert np.isfinite(np.asarray(out)).all()
+
+
 class TestCorrelatedRFastPaths:
     """Correlated R through the functional entry points: every solver
     method consumes the Cholesky-whitened obs space (the reference's uniform

@@ -82,6 +82,7 @@ def make_letkf_analysis(
     selection: str = "topk",
     obs_block: Optional[int] = None,
     max_obs_strict: bool = True,
+    geometry: Optional[tuple] = None,
 ):
     """Build a jitted single-cycle LETKF analysis.
 
@@ -127,6 +128,14 @@ def make_letkf_analysis(
         NaN-poison, whenever a column has more in-support obs than
         ``max_obs``. False accepts truncation to the nearest
         (see :class:`tpu_assim.interface.LETKF`).
+    geometry : optional concrete ``(obs_idx, grid_coords, obs_coords)``
+        (``obs_idx`` None with an ``obs_operator``). Binds the obs network
+        and grid as XLA constants: the returned function takes only
+        ``(state_data, obs_vals, obs_var)`` and the whole selection
+        prologue (tile extents, block offsets, gather indices) constant-
+        folds at compile time — the cycled-DA fast path, where the
+        geometry is fixed and only values change per cycle. Host-side
+        exactness hardening runs once at build.
 
     Returns
     -------
@@ -350,38 +359,30 @@ def make_letkf_analysis(
 
     _impl_jit = jax.jit(_impl, static_argnums=(6,))
 
-    def analysis_fn(state_data, obs_vals, obs_var, obs_idx, grid_coords,
-                    obs_coords):
-        # Host-side hardening for the window kernel whenever the coordinates
-        # are concrete (direct calls): validate sortedness and compute the
-        # exact per-tile obs block (required_obs_block — never drops
-        # observations, whatever the clustering). Under an outer jit the
-        # coordinates are tracers; the kernel then uses its auto block and
-        # NaN-poisons any overflowing tile instead of being silently wrong.
+    def _host_harden(obs_coords_np, grid_coords_np):
+        """Host-side hardening for the window kernels on concrete
+        coordinates: validate sortedness, compute the exact per-tile obs
+        block (required_obs_block(_2d) — never drops observations,
+        whatever the clustering), and enforce the in-support exactness
+        condition loudly."""
         blk = obs_block if obs_block is not None else 0
-        concrete = not isinstance(
-            obs_coords, jax.core.Tracer
-        ) and not isinstance(grid_coords, jax.core.Tracer)
         if obs_block is not None:
-            return _impl_jit(state_data, obs_vals, obs_var, obs_idx,
-                             grid_coords, obs_coords, blk)
-        if method in ("fused1d", "fused2d") and localization is not None:
-            from tpu_assim.ops.localization import GaspariCohnInf
+            return blk
+        if method not in ("fused1d", "fused2d") or localization is None:
+            return blk
+        from tpu_assim.ops.localization import GaspariCohnInf
 
-            taper_name = (
-                "gcinf" if isinstance(localization, GaspariCohnInf)
-                else "gc2"
-            )
-            eps = float(localization.epsilon)
-        if method == "fused1d" and localization is not None and (
-            max_obs is not None
-        ) and concrete:
+        taper_name = (
+            "gcinf" if isinstance(localization, GaspariCohnInf) else "gc2"
+        )
+        eps = float(localization.epsilon)
+        if method == "fused1d" and max_obs is not None:
             from tpu_assim.ops.pallas.letkf import (
                 max_in_support_1d,
                 required_obs_block,
             )
 
-            ox = np.asarray(obs_coords)[:, 0]
+            ox = obs_coords_np[:, 0]
             if ox.shape[0] > 1 and np.any(ox[1:] < ox[:-1]):
                 raise ValueError(
                     "method='fused1d' needs obs coordinates sorted "
@@ -391,25 +392,16 @@ def make_letkf_analysis(
                 np.atleast_1d(np.asarray(localization.radius, float))[0]
             )
             blk = required_obs_block(
-                ox, np.asarray(grid_coords)[:, 0], max_obs,
+                ox, grid_coords_np[:, 0], max_obs,
                 radius=radius, taper=taper_name, epsilon=eps,
             )
             if max_obs_strict:
                 worst = max_in_support_1d(
-                    ox, np.asarray(grid_coords)[:, 0], radius,
+                    ox, grid_coords_np[:, 0], radius,
                     taper=taper_name, epsilon=eps,
                 )
                 _raise_if_overflow(worst, max_obs)
-        if method == "fused2d" and localization is not None and (
-            max_obs is not None
-        ):
-            if not concrete:
-                raise ValueError(
-                    "method='fused2d' under an outer jit needs the per-tile "
-                    "obs block precomputed: build the analysis with "
-                    "make_letkf_analysis(..., obs_block="
-                    "required_obs_block_2d(...))"
-                )
+        if method == "fused2d" and max_obs is not None:
             from tpu_assim.ops.pallas.letkf import (
                 max_in_support_2d,
                 required_obs_block_2d,
@@ -420,16 +412,69 @@ def make_letkf_analysis(
             rx = float(radii[0])
             ry = float(radii[1] if radii.size > 1 else radii[0])
             blk = required_obs_block_2d(
-                np.asarray(obs_coords)[:, 1], np.asarray(grid_coords)[:, 1],
-                ry,
+                obs_coords_np[:, 1], grid_coords_np[:, 1], ry,
             )
             if max_obs_strict:
                 worst = max_in_support_2d(
-                    np.asarray(obs_coords)[:, :2],
-                    np.asarray(grid_coords)[:, :2], rx, ry,
+                    obs_coords_np[:, :2], grid_coords_np[:, :2], rx, ry,
                     taper=taper_name, epsilon=eps,
                 )
                 _raise_if_overflow(worst, max_obs)
+        return blk
+
+    if geometry is not None:
+        # Static-geometry binding (cycled DA: the obs network and grid are
+        # fixed across cycles while values change every cycle): the
+        # coordinates and indices become XLA CONSTANTS in the trace, so
+        # the whole selection prologue — tile extents, searchsorted block
+        # offsets, gather indices, degree-independent index arithmetic —
+        # constant-folds at compile time and each cycle pays kernel time
+        # only. Host-side hardening runs once, here.
+        g_idx, g_grid, g_obs = geometry
+        g_grid = np.asarray(g_grid)
+        g_obs = np.asarray(g_obs)
+        blk_static = _host_harden(g_obs, g_grid)
+        const_args = (
+            jnp.asarray(np.asarray(g_idx)) if g_idx is not None else None,
+            jnp.asarray(g_grid),
+            jnp.asarray(g_obs),
+        )
+
+        @jax.jit
+        def analysis_fn_static(state_data, obs_vals, obs_var):
+            return _impl(state_data, obs_vals, obs_var, const_args[0],
+                         const_args[1], const_args[2], blk_static)
+
+        return analysis_fn_static
+
+    def analysis_fn(state_data, obs_vals, obs_var, obs_idx, grid_coords,
+                    obs_coords):
+        # Host-side hardening whenever the coordinates are concrete
+        # (direct calls). Under an outer jit the coordinates are tracers;
+        # the 1-D kernel then uses its auto block and NaN-poisons any
+        # overflowing tile instead of being silently wrong, while fused2d
+        # requires a precomputed block.
+        concrete = not isinstance(
+            obs_coords, jax.core.Tracer
+        ) and not isinstance(grid_coords, jax.core.Tracer)
+        if obs_block is None and not concrete:
+            if method == "fused2d" and localization is not None and (
+                max_obs is not None
+            ):
+                raise ValueError(
+                    "method='fused2d' under an outer jit needs the per-tile "
+                    "obs block precomputed: build the analysis with "
+                    "make_letkf_analysis(..., obs_block="
+                    "required_obs_block_2d(...)) — or bind the geometry "
+                    "(make_letkf_analysis(..., geometry=(obs_idx, "
+                    "grid_coords, obs_coords)))"
+                )
+            blk = 0
+        else:
+            blk = _host_harden(
+                np.asarray(obs_coords) if concrete else None,
+                np.asarray(grid_coords) if concrete else None,
+            ) if concrete else (obs_block if obs_block is not None else 0)
         return _impl_jit(state_data, obs_vals, obs_var, obs_idx,
                          grid_coords, obs_coords, blk)
 
@@ -475,22 +520,39 @@ def make_cycle_step(
     (SURVEY §3.5; examples/benchmark_letkf.py + RK4Integrator).
 
     ``analysis_opts`` pass through to :func:`make_letkf_analysis`
-    (method / max_obs / selection / cheb_degree).
+    (method / max_obs / selection / cheb_degree / geometry). With
+    ``geometry=(obs_idx, grid_coords, obs_coords)`` (concrete — the cycled
+    setting, where the obs network is fixed) the returned step takes only
+    ``(state_data, obs_vals, obs_var)`` and the analysis prologue is
+    constant-folded at compile time.
 
     Returns step(state_data, obs_vals, obs_var, obs_idx, grid_coords,
-                 obs_coords) -> analysis [k, g].
+                 obs_coords) -> analysis [k, g] (first three args only
+    when ``geometry`` is bound).
     """
     analyse = make_letkf_analysis(localization, inf_factor, chunksize,
                                   **analysis_opts)
 
-    @jax.jit
-    def step(state_data, obs_vals, obs_var, obs_idx, grid_coords, obs_coords):
+    def _forecast(state_data):
         def body(s, _):
             return integrator.integrate(s), None
 
-        forecast, _ = jax.lax.scan(body, state_data, None, length=n_int_steps)
+        forecast, _ = jax.lax.scan(body, state_data, None,
+                                   length=n_int_steps)
+        return forecast
+
+    if analysis_opts.get("geometry") is not None:
+        @jax.jit
+        def step_static(state_data, obs_vals, obs_var):
+            return analyse(_forecast(state_data), obs_vals, obs_var)
+
+        return step_static
+
+    @jax.jit
+    def step(state_data, obs_vals, obs_var, obs_idx, grid_coords, obs_coords):
         return analyse(
-            forecast, obs_vals, obs_var, obs_idx, grid_coords, obs_coords
+            _forecast(state_data), obs_vals, obs_var, obs_idx, grid_coords,
+            obs_coords
         )
 
     return step

@@ -766,10 +766,58 @@ def _taper_poly(z, taper: str, epsilon: float):
     return jnp.where(w > epsilon, w, 0.0)
 
 
+def _onehot_select(table, onehot, sel_prec: str):
+    """The one-hot selection matmul ``table [r, o] @ onehot [o, nb*T]``.
+
+    ``sel_prec="x3"`` (default): three native bf16 MXU passes over an
+    EXACT 3-limb bf16 decomposition of the f32 table — BIT-EXACT here,
+    not an approximation: each output element selects exactly ONE table
+    entry (the one-hot is 0/1, exact in bf16), each limb rides through
+    its pass unchanged, and the limbs recombine to the original f32 value
+    (the two-sum residuals ``r1 = t - hi``, ``r2 = r1 - mid`` are exactly
+    representable, and ``(hi + mid) + lo`` re-associates exactly because
+    the limbs occupy disjoint significand ranges). Only accumulations of
+    *multiple* nonzero products would need the 6-pass fp32 contract that
+    ``"highest"`` requests (Mosaic lowers no intermediate precision) —
+    half the MXU work of the selection stage for free. The table is
+    clamped to the bf16 finite range first: the ±float32.max coordinate
+    sentinels of the blocked paths would round to ±inf and poison the
+    residual; the clamped sentinel (~3.39e38) still sits far outside
+    every taper support. Verified bitwise-identical to "highest" on v5e
+    (scripts/profile_window2d.py).
+    """
+    f32 = jnp.float32
+    dims = (((1,), (0,)), ((), ()))
+    if sel_prec == "highest":
+        return jax.lax.dot_general(
+            table, onehot, dims, preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    if sel_prec == "default":  # measurement only: rounds values to bf16
+        return jax.lax.dot_general(
+            table, onehot, dims, preferred_element_type=f32,
+        )
+    bf16 = jnp.bfloat16
+    bmax = jnp.asarray(3.3895313892515355e38, f32)  # bf16 max finite
+    tbl = jnp.clip(table, -bmax, bmax)
+    t_hi = tbl.astype(bf16)
+    r1 = tbl - t_hi.astype(f32)
+    t_mid = r1.astype(bf16)
+    t_lo = (r1 - t_mid.astype(f32)).astype(bf16)
+    oh = onehot.astype(bf16)
+    # one matmul with the limbs stacked along M: identical MACs to three
+    # separate passes, but the stationary one-hot operand is loaded once
+    r = table.shape[0]
+    limbs = jnp.concatenate([t_hi, t_mid, t_lo], axis=0)
+    s3 = jax.lax.dot_general(limbs, oh, dims, preferred_element_type=f32)
+    return (s3[:r] + s3[r:2 * r]) + s3[2 * r:]
+
+
 def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
                          gridx_ref, sp_ref, mean_ref, out_ref,
                          *, ens_size, degree, nb, epsilon, taper,
-                         support_z, strict, acc_form=False):
+                         support_z, strict, acc_form=False,
+                         sel_prec="x3"):
     f32 = jnp.float32
     reg = scal_ref[0]
     radius = scal_ref[1]
@@ -819,14 +867,12 @@ def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
     slot = jax.lax.broadcasted_iota(jnp.int32, (nb, t_cols), 0)  # [nb, T]
     sel_all = (start[None, :] + slot).reshape(1, nb * t_cols)   # [1, nb*T]
     onehot = jnp.where(iota_o == sel_all, 1.0, 0.0)             # [o, nb*T]
-    hp = jax.lax.Precision.HIGHEST
     # ONE selection matmul for perts + innovation + obs coords: they are
     # consecutive rows of the packed table, and the MXU pads the row dim to
     # 128 anyway — the extra two rows ride along for free, replacing two
     # full-width VPU masked reductions
-    sel = jax.lax.dot_general(
-        pack[:ens_size + 2], onehot, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=hp,
+    sel = _onehot_select(
+        pack[:ens_size + 2], onehot, sel_prec
     ).reshape(ens_size + 2, nb, t_cols)                         # [k+2,nb,T]
     zz = sel[:ens_size]                                         # [k, nb, T]
     yv = sel[ens_size]                                          # [nb, T]
@@ -849,7 +895,7 @@ def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("ens_size", "nb", "degree", "tile", "interpret",
-                     "epsilon", "obs_block", "taper", "strict"),
+                     "epsilon", "obs_block", "taper", "strict", "sel_prec"),
 )
 def letkf_window_analysis_fused(
     perts: jnp.ndarray,
@@ -868,6 +914,7 @@ def letkf_window_analysis_fused(
     obs_block: int = 0,
     taper: str = "gc2",
     strict: bool = True,
+    sel_prec: str = "x3",
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """The complete 1-D-window LETKF analysis as ONE Pallas kernel.
@@ -939,7 +986,7 @@ def letkf_window_analysis_fused(
         obs_block = -(-obs_block // 8) * 8  # sublane-align
 
     statics = (ens_size, nb, degree, tile, epsilon, min(obs_block, o),
-               taper, strict, _resolve_interpret(interpret))
+               taper, strict, sel_prec, _resolve_interpret(interpret))
     out = _window_call(
         perts.astype(f32), innov.astype(f32), obs_x.astype(f32),
         grid_x.astype(f32), sp.astype(f32), mean3, scal, statics,
@@ -950,7 +997,7 @@ def letkf_window_analysis_fused(
 
 def _window_pallas(perts, innov, obs_x, grid_x, sp, mean3, scal,
                    ens_size, nb, degree, tile, epsilon, obs_block, taper,
-                   strict, interpret):
+                   strict, sel_prec, interpret):
     """The raw window-kernel pallas_call over padded f32 inputs
     (perts [k, o], innov [o], obs_x [o], grid_x [G], sp [ns, k, G],
     mean3 [ns, 1, G], G a multiple of tile)."""
@@ -967,6 +1014,11 @@ def _window_pallas(perts, innov, obs_x, grid_x, sp, mean3, scal,
         _letkf_window_kernel, ens_size=ens_size, degree=degree, nb=nb,
         epsilon=epsilon, taper=taper, support_z=support_z, strict=strict,
         acc_form=not interpret,
+        # interpret mode pins the fp32-contract selection: XLA's
+        # allow_excess_precision elides the f32->bf16->f32 limb casts of
+        # "x3", collapsing it to ONE lossy bf16 pass (~1e-1 errors);
+        # Mosaic keeps the casts explicit, where "x3" is bit-exact
+        sel_prec=("highest" if interpret else sel_prec),
     )
     dp1 = degree + 1
     rows = k + 2
@@ -1109,7 +1161,7 @@ def _window_call_fwd(perts, innov, obs_x, grid_x, sp, mean3, scal, statics):
 
 def _window_call_bwd(statics, res, g):
     (ens_size, nb, degree, _tile, epsilon, _obs_block, taper, _strict,
-     _interp) = statics
+     _sel_prec, _interp) = statics
     perts, innov, obs_x, grid_x, sp, mean3, scal = res
 
     def ref(p_, i_, ox_, gx_, sp_, m_, sc_):
@@ -1133,11 +1185,12 @@ _window_call.defvjp(_window_call_fwd, _window_call_bwd)
 #
 #   prologue (XLA): obs are sorted by y; each grid tile's candidate block is
 #     the contiguous y-sorted slice inside the tile's y-band
-#     [min(gy) - 2 ry, max(gy) + 2 ry] (the Gaspari-Cohn support along y),
-#     re-sorted by x inside the block;
+#     [min(gy) - 2 ry, max(gy) + 2 ry] (the Gaspari-Cohn support along y);
 #   kernel: the 1-D rank/window/one-hot machinery runs on the block's x
-#     coordinates, and the taper is the per-dimension product
-#     GC(|dx|/rx) * GC(|dy|/ry) (reference behavior:
+#     coordinates — selection is by in-block x-RANK (computed in-kernel
+#     with index tie-break), so the block needs no x ordering and the
+#     prologue never sorts per tile — and the taper is the per-dimension
+#     product GC(|dx|/rx) * GC(|dy|/ry) (reference behavior:
 #     pytassim/localization/gaspari_cohn.py:124-134), followed by the same
 #     Chebyshev solve + apply.
 #
@@ -1151,17 +1204,77 @@ _window_call.defvjp(_window_call_fwd, _window_call_bwd)
 def _letkf_window2d_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
                            grid_ref, sp_ref, mean_ref, out_ref,
                            *, ens_size, degree, nb, epsilon, taper,
-                           support_z, strict, n_dims=2, acc_form=False):
+                           support_z, strict, n_dims=2, acc_form=False,
+                           sel_prec="x3"):
+    # packed obs table [1, rows_pad, o_b] fully in VMEM (rows 0..k-1
+    # perts, k innov, k+1 x coords, k+2 y coords, k+3.. extra dims);
+    # out-of-band slots already carry x = +float32.max from the prologue
+    _window2d_core(
+        obs_ref[:][0], scal_ref, nodes_ref, dct_ref, grid_ref, sp_ref,
+        mean_ref, out_ref, ens_size=ens_size, degree=degree, nb=nb,
+        epsilon=epsilon, taper=taper, support_z=support_z, strict=strict,
+        n_dims=n_dims, acc_form=acc_form, sel_prec=sel_prec,
+    )
+
+
+def _letkf_window2d_dma_kernel(scal_ref, nodes_ref, dct_ref, bands_ref,
+                               grid_ref, sp_ref, mean_ref, pack_hbm,
+                               out_ref, pack_vmem, sem,
+                               *, o_b, ens_size, degree, nb, epsilon,
+                               taper, support_z, strict, n_dims=2,
+                               acc_form=False, sel_prec="x3"):
+    """DMA-banded variant: the y-sorted obs table lives ONCE in HBM,
+    TRANSPOSED ([o, rows_pad] — band slices ride the 8-aligned sublane
+    dim; Mosaic rejects unaligned lane-dim slices); each tile DMAs its
+    band slice ``[off : off+o_b, :]`` into VMEM scratch here and
+    transposes it once, instead of XLA materializing [n_tiles, rows, o_b]
+    gather blocks (0.37 ms/call of pure prologue on the 128x128 benchmark
+    config — and an O(n_tiles * o_b) HBM blow-up that forbids
+    production-scale grids). ``bands_ref`` [n_tiles, 3] f32 in SMEM holds
+    (slice offset, band start, band end) per tile — f32 so the custom-VJP
+    boundary differentiates cleanly; exact for indices < 2^24.
+
+    Out-of-slice band masking: only the x coordinate row needs the
+    +float32.max sentinel (it alone drives slot consumption — rank / low /
+    high — and the taper's x factor); out-of-band slots keep their real y,
+    which the y-taper factor already zeroes (|dy| > 2 ry for every column
+    of the tile, by the band definition)."""
+    f32 = jnp.float32
+    t = pl.program_id(0)
+    off = bands_ref[t, 0].astype(jnp.int32)
+    dma = pltpu.make_async_copy(
+        pack_hbm.at[pl.ds(off, o_b), :], pack_vmem, sem
+    )
+    dma.start()
+    dma.wait()
+    pack = jnp.swapaxes(pack_vmem[:], 0, 1)    # [rows_pad, o_b]
+    a_rel = bands_ref[t, 1].astype(jnp.int32)
+    b_rel = bands_ref[t, 2].astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, o_b), 1)
+    in_band = (iota >= a_rel) & (iota < b_rel)
+    big = jnp.asarray(jnp.finfo(f32).max, f32)
+    x_row = ens_size + 1
+    obs_x_m = jnp.where(in_band, pack[x_row:x_row + 1], big)
+    pack_m = jnp.concatenate(
+        [pack[:x_row], obs_x_m, pack[x_row + 1:]], axis=0
+    )
+    _window2d_core(
+        pack_m, scal_ref, nodes_ref, dct_ref, grid_ref, sp_ref,
+        mean_ref, out_ref, ens_size=ens_size, degree=degree, nb=nb,
+        epsilon=epsilon, taper=taper, support_z=support_z, strict=strict,
+        n_dims=n_dims, acc_form=acc_form, sel_prec=sel_prec,
+    )
+
+
+def _window2d_core(pack, scal_ref, nodes_ref, dct_ref,
+                   grid_ref, sp_ref, mean_ref, out_ref,
+                   *, ens_size, degree, nb, epsilon, taper,
+                   support_z, strict, n_dims=2, acc_form=False,
+                   sel_prec="x3"):
     f32 = jnp.float32
     reg = scal_ref[0]
     rx = scal_ref[1]
     ry = scal_ref[2]
-    # packed obs table [1, rows_pad, o_b]: rows 0..k-1 perts, k innov,
-    # k+1 x coords (sorted within the block), k+2 y coords, k+3.. any
-    # extra product-taper coordinate dims (>= 3-D localization: band on y,
-    # window on x, taper factors only for the rest — reference per-dim
-    # radii product, gaspari_cohn.py:124-134)
-    pack = obs_ref[:][0]
     k_rows = ens_size
     obs_x = pack[k_rows + 1:k_rows + 2]   # [1, o_b]
     gx = grid_ref[0:1]                    # [1, T]
@@ -1174,7 +1287,12 @@ def _letkf_window2d_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
     # kernel; band obs outside the x-cutoff consume no slots that way).
     # The block holds the tile's WHOLE y-band (or the tile is already
     # band-poisoned), so in-block counts are band-global; out-of-band pad
-    # slots carry x = +float32.max and never enter any count.
+    # slots carry x = +float32.max and never enter any count. All counts
+    # are order-independent (compare + sum), so the block needs NO x
+    # ordering at all — selection is by in-block x-RANK, computed right
+    # here (index tie-break gives a strict total order; the per-block
+    # argsort + 4 gathers this replaces were 0.70 ms of the 2.43 ms
+    # end-to-end on the 128x128 benchmark config, profile_window2d.py).
     ox_col = obs_x.reshape(-1, 1)                               # [o_b, 1]
     cmp = jnp.where(ox_col <= gx, 1.0, 0.0)                     # [o_b, T]
     center = jnp.sum(cmp, axis=0)                               # [T]
@@ -1192,15 +1310,25 @@ def _letkf_window2d_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
     )
 
     t_cols = gx.shape[1]
-    iota_o = jax.lax.broadcasted_iota(jnp.int32, (n_obs, 1), 0)
+    # in-block x-rank of every slot (strict total order; ties broken by
+    # slot index): rank_i = #{x_j < x_i} + #{x_j == x_i, j < i}. Selecting
+    # rank == start + n is bitwise-identical to selecting slot start + n
+    # of the x-sorted block — same obs, same window order.
+    ox_row = obs_x                                              # [1, o_b]
+    lt = jnp.where(ox_row[0][:, None] < ox_col[:, 0][None, :], 1.0, 0.0)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (n_obs, n_obs), 0)
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (n_obs, n_obs), 1)
+    eq_lo = jnp.where(
+        (ox_row[0][:, None] == ox_col[:, 0][None, :]) & (iota_j < iota_i),
+        1.0, 0.0,
+    )
+    rank = jnp.sum(lt + eq_lo, axis=0).astype(jnp.int32)        # [o_b]
     slot = jax.lax.broadcasted_iota(jnp.int32, (nb, t_cols), 0)
     sel_all = (start[None, :] + slot).reshape(1, nb * t_cols)
-    onehot = jnp.where(iota_o == sel_all, 1.0, 0.0)             # [o_b,nb*T]
-    hp = jax.lax.Precision.HIGHEST
+    onehot = jnp.where(rank[:, None] == sel_all, 1.0, 0.0)      # [o_b,nb*T]
     n_rows = ens_size + 1 + n_dims
-    sel = jax.lax.dot_general(
-        pack[:n_rows], onehot, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32, precision=hp,
+    sel = _onehot_select(
+        pack[:n_rows], onehot, sel_prec
     ).reshape(n_rows, nb, t_cols)                               # [rows,nb,T]
     zz = sel[:ens_size]                                         # [k, nb, T]
     yv = sel[ens_size]                                          # [nb, T]
@@ -1233,7 +1361,7 @@ def _letkf_window2d_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
     jax.jit,
     static_argnames=("radius_x", "radius_y", "ens_size", "nb", "degree",
                      "tile", "interpret", "epsilon", "obs_block", "taper",
-                     "strict", "extra_radii"),
+                     "strict", "extra_radii", "sel_prec"),
 )
 def letkf_window_analysis_fused_2d(
     perts: jnp.ndarray,
@@ -1254,6 +1382,7 @@ def letkf_window_analysis_fused_2d(
     taper: str = "gc2",
     strict: bool = True,
     extra_radii: tuple = (),
+    sel_prec: str = "x3",
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """The complete 2-D-window LETKF analysis as ONE Pallas kernel.
@@ -1329,12 +1458,13 @@ def letkf_window_analysis_fused_2d(
     rows = k + 1 + n_dims
     rows_pad = -(-rows // 8) * 8
     if o_b >= o:
-        # whole table per tile: re-sort by x once, shared pack
-        ordx = jnp.argsort(ox_all)
+        # whole table per tile, shared pack — NO x ordering needed: the
+        # kernel selects by in-block x-rank (computed there), so the
+        # y-sorted order rides through as-is
         pack = jnp.concatenate(
-            [perts[:, ordx], innov[ordx][None, :], ox_all[ordx][None, :],
-             oy_all[ordx][None, :]]
-            + [z[ordx][None, :] for z in oz_all]
+            [perts, innov[None, :], ox_all[None, :],
+             oy_all[None, :]]
+            + [z[None, :] for z in oz_all]
             + [jnp.zeros((rows_pad - rows, o), f32)],
             axis=0,
         )[None]
@@ -1349,37 +1479,60 @@ def letkf_window_analysis_fused_2d(
                                method="sort").astype(jnp.int32)
         # Exactness guard: band population beyond the block width would
         # silently drop in-support observations — NaN-poison those tiles
-        bad_tile = (iy1 - iy0) > o_b
+        # (capacity is the 128-rounded DMA width below)
+        bad_tile = (iy1 - iy0) > (-(-o_b // 128) * 128)
         mean3 = mean3 + jnp.where(
             jnp.repeat(bad_tile, tile), jnp.nan, 0.0
         ).astype(f32)[None, None, :]
-        idx = iy0[:, None] + jnp.arange(o_b, dtype=jnp.int32)[None, :]
-        in_band = (idx < iy1[:, None]) & (idx < o)
-        idx_c = jnp.minimum(idx, o - 1)
+        # DMA-banded path: the y-sorted table lives ONCE in HBM; each tile
+        # DMAs its slice [off, off+o_bd) inside the kernel
+        # (_letkf_window2d_dma_kernel) — no [n_tiles, rows, o_b] gather
+        # blocks, no per-block x sort (rank-based selection needs neither;
+        # together 0.7 + 0.37 ms/call on the 128x128 benchmark config).
+        # The table is stored TRANSPOSED ([obs, rows]) so the band slices
+        # ride the sublane dim: Mosaic requires lane-dim slice offsets and
+        # widths 128-aligned even for HBM memrefs, but sublane slices only
+        # need 8-alignment — offsets round down to 8 and the block width
+        # carries +8 headroom. Pad slots: +float32.max coords (rank-inert,
+        # taper 0), zero values.
+        o_bd = o_b + 8
+        o_pad = -(-o // 8) * 8
         big = jnp.asarray(jnp.finfo(f32).max, f32)
-        ox_b = jnp.where(in_band, jnp.take(ox_all, idx_c), big)
-        oy_b = jnp.where(in_band, jnp.take(oy_all, idx_c), big)
-        oz_b = [jnp.where(in_band, jnp.take(z, idx_c), big)
-                for z in oz_all]
-        innov_b = jnp.where(in_band, jnp.take(innov, idx_c), 0.0)
-        perts_b = jnp.where(
-            in_band[:, None, :],
-            jnp.take(perts, idx_c, axis=1).transpose(1, 0, 2),
-            0.0,
-        )                                                  # [n_tiles,k,o_b]
-        # re-sort each block by x (out-of-band slots sort to the end)
-        ordx = jnp.argsort(ox_b, axis=1)                   # [n_tiles, o_b]
-        ox_b = jnp.take_along_axis(ox_b, ordx, axis=1)
-        oy_b = jnp.take_along_axis(oy_b, ordx, axis=1)
-        oz_b = [jnp.take_along_axis(z, ordx, axis=1) for z in oz_b]
-        innov_b = jnp.take_along_axis(innov_b, ordx, axis=1)
-        perts_b = jnp.take_along_axis(perts_b, ordx[:, None, :], axis=2)
-        pack = jnp.concatenate(
-            [perts_b, innov_b[:, None, :], ox_b[:, None, :],
-             oy_b[:, None, :]]
-            + [z[:, None, :] for z in oz_b]
-            + [jnp.zeros((n_tiles, rows_pad - rows, o_b), f32)], axis=1,
-        )
+        cpad = o_pad - o
+        off = jnp.minimum(iy0, max(o_pad - o_bd, 0)).astype(jnp.int32)
+        off = off - off % 8
+        a_rel = (iy0 - off).astype(f32)
+        b_rel = jnp.clip(iy1 - off, 0, o_bd).astype(f32)
+        bands = jnp.stack([off.astype(f32), a_rel, b_rel], axis=1)
+
+        def padv(row, fill=0.0):
+            return jnp.pad(row, ((0, 0), (0, cpad)), constant_values=fill)
+
+        # the transposed table's lane dim (rows) must itself be a
+        # 128-multiple — Mosaic treats any non-multiple lane extent as an
+        # unaligned slice even when taken in full
+        rows_dma = -(-rows_pad // 128) * 128
+        pack_full_t = jnp.concatenate(
+            [padv(perts), padv(innov[None, :]),
+             padv(ox_all[None, :], big), padv(oy_all[None, :], big)]
+            + [padv(z[None, :], big) for z in oz_all]
+            + [jnp.zeros((rows_dma - rows, o_pad), f32)],
+            axis=0,
+        ).T                                                # [o_pad, rows_dma]
+        scal = jnp.stack(
+            [reg.astype(f32), jnp.asarray(radius_x, f32),
+             jnp.asarray(radius_y, f32)]
+            + [jnp.asarray(r, f32) for r in extra_radii]
+        ).reshape(1 + n_dims,)
+        grid2 = jnp.stack(
+            [gx, gy] + [grid_xy[:, 2 + j].astype(f32)
+                        for j in range(n_dims - 2)], axis=0)
+        statics = (ens_size, nb, degree, tile, epsilon, taper, strict,
+                   n_dims, sel_prec, o_bd, _resolve_interpret(interpret))
+        out = _window2d_dma_call(pack_full_t, bands, grid2, sp.astype(f32),
+                                 mean3, scal, statics)
+        out = out[:, :, :g]
+        return out if multi else out[0]
 
     scal = jnp.stack(
         [reg.astype(f32), jnp.asarray(radius_x, f32),
@@ -1390,7 +1543,7 @@ def letkf_window_analysis_fused_2d(
         [gx, gy] + [grid_xy[:, 2 + j].astype(f32)
                     for j in range(n_dims - 2)], axis=0)   # [d, G]
     statics = (ens_size, nb, degree, tile, epsilon, taper, strict, n_dims,
-               _resolve_interpret(interpret))
+               sel_prec, _resolve_interpret(interpret))
     out = _window2d_call(pack, grid2, sp.astype(f32), mean3, scal, statics)
     out = out[:, :, :g]
     return out if multi else out[0]
@@ -1398,7 +1551,7 @@ def letkf_window_analysis_fused_2d(
 
 def _window2d_pallas(pack, grid2, sp, mean3, scal,
                      ens_size, nb, degree, tile, epsilon, taper, strict,
-                     n_dims, interpret):
+                     n_dims, sel_prec, interpret):
     """The raw 2-D window pallas_call over prepared f32 inputs
     (pack [1 or n_tiles, rows_pad, o_b], grid2 [2, G], sp [ns, k, G],
     mean3 [ns, 1, G], G a multiple of tile)."""
@@ -1417,6 +1570,11 @@ def _window2d_pallas(pack, grid2, sp, mean3, scal,
         epsilon=epsilon, taper=taper,
         support_z=taper_support_z(taper, epsilon), strict=strict,
         n_dims=n_dims, acc_form=not interpret,
+        # interpret mode pins the fp32-contract selection: XLA's
+        # allow_excess_precision elides the f32->bf16->f32 limb casts of
+        # "x3", collapsing it to ONE lossy bf16 pass (~1e-1 errors);
+        # Mosaic keeps the casts explicit, where "x3" is bit-exact
+        sel_prec=("highest" if interpret else sel_prec),
     )
     dp1 = degree + 1
     return pl.pallas_call(
@@ -1481,6 +1639,11 @@ def _window2d_ref(pack, grid2, sp, mean3, scal, *, ens_size, nb, degree,
     sup_z = taper_support_z(taper, epsilon)
 
     def one_tile(pk, gxt, gyt, gzt, spt_, mt_):
+        # the kernel selects by in-block x-rank with index tie-break; the
+        # positional selection below needs the block x-sorted, so sort
+        # here (stable argsort = the same tie order; differentiable
+        # gather) — blocks arrive in y-order from the prologue
+        pk = pk[:, jnp.argsort(pk[ens_size + 1], stable=True)]
         obs_x = pk[ens_size + 1]                           # [o_b]
         o_b = obs_x.shape[0]
         rank = jnp.sum(
@@ -1541,7 +1704,7 @@ def _window2d_call_fwd(pack, grid2, sp, mean3, scal, statics):
 
 def _window2d_call_bwd(statics, res, g):
     (ens_size, nb, degree, tile, epsilon, taper, _strict, n_dims,
-     _interp) = statics
+     _sel_prec, _interp) = statics
     pack, grid2, sp, mean3, scal = res
 
     def ref(pk, g2, sp_, m_, sc_):
@@ -1554,3 +1717,127 @@ def _window2d_call_bwd(statics, res, g):
 
 
 _window2d_call.defvjp(_window2d_call_fwd, _window2d_call_bwd)
+
+
+def _window2d_dma_pallas(pack_full, bands, grid2, sp, mean3, scal,
+                         ens_size, nb, degree, tile, epsilon, taper,
+                         strict, n_dims, sel_prec, o_b, interpret):
+    """The DMA-banded 2-D window pallas_call: ``pack_full [o, rows_pad]``
+    (transposed) stays in HBM and every tile DMAs its ``o_b``-wide band
+    slice into VMEM scratch (see :func:`_letkf_window2d_dma_kernel`);
+    ``bands [n_tiles, 3]`` f32 rides in SMEM."""
+    from tpu_assim.ops.localization import taper_support_z
+
+    f32 = jnp.float32
+    _o, rows_pad = pack_full.shape
+    ns, k, gp = sp.shape
+    n_tiles = gp // tile
+    nodes, dct = _cheb_nodes_dct(degree)
+    kernel = functools.partial(
+        _letkf_window2d_dma_kernel, o_b=o_b, ens_size=ens_size,
+        degree=degree, nb=nb, epsilon=epsilon, taper=taper,
+        support_z=taper_support_z(taper, epsilon), strict=strict,
+        n_dims=n_dims, acc_form=not interpret,
+        # interpret mode pins the fp32-contract selection: XLA's
+        # allow_excess_precision elides the f32->bf16->f32 limb casts of
+        # "x3", collapsing it to ONE lossy bf16 pass (~1e-1 errors);
+        # Mosaic keeps the casts explicit, where "x3" is bit-exact
+        sel_prec=("highest" if interpret else sel_prec),
+    )
+    dp1 = degree + 1
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, dp1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp1, dp1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # bands
+            pl.BlockSpec((n_dims, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, 1, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),         # pack_full
+            # (explicit HBM, untiled: an ANY ref gets promoted to tiled
+            # VMEM when it fits, and tiled sources reject the unaligned
+            # o_b-wide band slices this kernel DMAs)
+        ],
+        out_specs=pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ns, k, gp), f32),
+        scratch_shapes=[pltpu.VMEM((o_b, rows_pad), f32),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(scal, jnp.asarray(nodes)[None, :], jnp.asarray(dct), bands, grid2,
+      sp, mean3, pack_full)
+
+
+def _window2d_dma_ref(pack_full, bands, grid2, sp, mean3, scal, *,
+                      ens_size, nb, degree, epsilon, taper, tile, n_dims,
+                      o_b):
+    """Plain-XLA mirror of the DMA-banded kernel (the differentiable
+    backward): materialize each tile's band slice (transposed-table
+    layout) + x sentinel mask, then reuse :func:`_window2d_ref`."""
+    f32 = jnp.float32
+    rows_pad = pack_full.shape[1]
+    big = jnp.asarray(jnp.finfo(f32).max, f32)
+    x_row = ens_size + 1
+
+    def slice_tile(band):
+        off = band[0].astype(jnp.int32)
+        blk = jax.lax.dynamic_slice(pack_full, (off, 0), (o_b, rows_pad)).T
+        iota = jnp.arange(o_b, dtype=f32)
+        inb = (iota >= band[1]) & (iota < band[2])
+        xm = jnp.where(inb, blk[x_row], big)
+        return jnp.concatenate(
+            [blk[:x_row], xm[None, :], blk[x_row + 1:]], axis=0
+        )
+
+    packt = jax.vmap(slice_tile)(bands)
+    return _window2d_ref(packt, grid2, sp, mean3, scal,
+                         ens_size=ens_size, nb=nb, degree=degree,
+                         epsilon=epsilon, taper=taper, tile=tile,
+                         n_dims=n_dims)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _window2d_dma_call(pack_full, bands, grid2, sp, mean3, scal, statics):
+    """Differentiable wrapper of the DMA-banded kernel: Pallas forward,
+    plain-XLA reverse over :func:`_window2d_dma_ref` (``bands`` is f32 so
+    the boundary differentiates cleanly; its cotangent is zero — band
+    indices are piecewise constant in every input)."""
+    return _window2d_dma_pallas(pack_full, bands, grid2, sp, mean3, scal,
+                                *statics)
+
+
+def _window2d_dma_call_fwd(pack_full, bands, grid2, sp, mean3, scal,
+                           statics):
+    out = _window2d_dma_call(pack_full, bands, grid2, sp, mean3, scal,
+                             statics)
+    return out, (pack_full, bands, grid2, sp, mean3, scal)
+
+
+def _window2d_dma_call_bwd(statics, res, g):
+    (ens_size, nb, degree, tile, epsilon, taper, _strict, n_dims,
+     _sel_prec, o_b, _interp) = statics
+    pack_full, bands, grid2, sp, mean3, scal = res
+
+    def ref(pk, bd, g2, sp_, m_, sc_):
+        return _window2d_dma_ref(pk, bd, g2, sp_, m_, sc_,
+                                 ens_size=ens_size, nb=nb, degree=degree,
+                                 epsilon=epsilon, taper=taper, tile=tile,
+                                 n_dims=n_dims, o_b=o_b)
+
+    _, vjp = jax.vjp(ref, pack_full, bands, grid2, sp, mean3, scal)
+    return vjp(g)
+
+
+_window2d_dma_call.defvjp(_window2d_dma_call_fwd, _window2d_dma_call_bwd)

@@ -199,6 +199,12 @@ def _ring_halo_sorted(packed: jnp.ndarray, coord_row: int, axis_name: str,
         if off == 0:
             blocks.append(packed)
             continue
+        if abs(off) >= n_shards:
+            # wrapped for EVERY shard (s + off outside [0, n) for all s):
+            # the block would be pure sentinel everywhere — drop it
+            # statically. On a 1-device ring this removes the whole
+            # exchange (bench config 3 runs the halo program single-chip).
+            continue
         # receiver s gets the block of shard (s + off)
         blk = jax.lax.ppermute(
             packed, axis_name,
@@ -299,6 +305,104 @@ def _ring_halo_rdma(packed: jnp.ndarray, axis_name: str, n_shards: int,
     return out.transpose(1, 0, 2).reshape(rows, (1 + n_blk) * o_ps)
 
 
+def _halo_auto_degree(state_data, obs_vals, obs_var, obs_lidx, obs_coords,
+                      obs_valid, n_shards, max_obs, inf_factor,
+                      consecutive: bool) -> int:
+    """Measured Chebyshev degree for the halo entry points (host-side
+    numpy, concrete inputs) — the multi-chip port of
+    ``LETKF._auto_cheb_degree`` (interface/letkf.py): the solve operator
+    per column is ``X = I + Zh Zh^T / reg`` with spectrum bounded by
+    ``1 + tr(S)/reg``, ``tr(S) = sum_o w_o ||z_o||^2 <= `` the largest
+    ``max_obs``-subset sum of whitened perturbation norms. ``consecutive``
+    uses the tighter max-consecutive-window bound (sorted-coordinate
+    window selection); otherwise the top-``max_obs`` global sum (valid for
+    any taper/top-k selection since ``w <= 1``)."""
+    import numpy as np
+
+    from tpu_assim.ops.pallas.letkf import cheb_degree_for
+
+    state = np.asarray(state_data, dtype=np.float64)
+    k, g = state.shape
+    p = np.asarray(obs_vals).shape[0] // n_shards
+    shard_size = g // n_shards
+    lidx = np.asarray(obs_lidx)
+    gidx = (np.arange(n_shards * p) // p) * shard_size + lidx
+    valid = np.asarray(obs_valid) > 0
+    ens_obs = state[:, gidx]
+    mean = ens_obs.mean(axis=0, keepdims=True)
+    perts = ens_obs - mean
+    var = np.asarray(obs_var, dtype=np.float64)
+    if var.ndim == 2:
+        # per-shard correlated blocks: whiten by the local Cholesky factor
+        blocks = var.reshape(n_shards, p, p)
+        pb = perts.reshape(k, n_shards, p)
+        for s in range(n_shards):
+            chol = np.linalg.cholesky(blocks[s])
+            pb[:, s, :] = np.linalg.solve(chol, pb[:, s, :].T).T
+        perts = pb.reshape(k, n_shards * p)
+    else:
+        perts = perts / np.sqrt(var)[None, :]
+    znorm = np.sum(perts**2, axis=0) * valid
+    reg = (k - 1) / float(inf_factor)
+    width = min(int(max_obs), int(valid.sum())) or 1
+    if consecutive:
+        ox = np.asarray(obs_coords)[:, 0]
+        order = np.argsort(ox[valid], kind="stable")
+        zs = znorm[valid][order]
+        cs = np.concatenate([[0.0], np.cumsum(zs)])
+        tr_max = float((cs[width:] - cs[:-width]).max()) if len(zs) else 0.0
+    else:
+        tr_max = float(np.sort(znorm)[-width:].sum())
+    return cheb_degree_for(1.0 + tr_max / reg)
+
+
+def _halo_max_in_support(obs_coords, obs_valid, n_shards, radius, taper,
+                         epsilon, halo_width) -> int:
+    """Worst per-column candidate count inside the taper support for the
+    windowed halo path (host-side numpy, exact, incl. PAD slots): padded
+    bucket slots are pinned to the shard's max valid obs coordinate (left
+    grid edge fallback is <= that of the ring predecessor) and, though
+    zero-valued, consume window slots whenever their pinned coordinate
+    falls inside a column's support — the kernel's overflow guard counts
+    them, so the precheck must too. Grid columns are not needed: the
+    worst count over columns equals the largest candidate cluster inside
+    any open support window, evaluated at candidate positions."""
+    import numpy as np
+
+    from tpu_assim.ops.localization import taper_support_z
+
+    coords = np.asarray(obs_coords)[:, 0]
+    valid = np.asarray(obs_valid) > 0
+    p = coords.shape[0] // n_shards
+    cand = []
+    for s in range(n_shards):
+        sl = slice(s * p, (s + 1) * p)
+        c = coords[sl][valid[sl]]
+        cand.append(c)
+        n_pad = p - c.shape[0]
+        if n_pad and c.shape[0]:
+            cand.append(np.full(n_pad, c.max()))
+        # obs-free shards pin pads to the shard's left grid edge, which
+        # cannot exceed any real obs coordinate of later shards — their
+        # exact position is unknown here, so count them at every shard
+        # boundary position is overly pessimistic; instead they are
+        # counted at the previous shard's max (the sorted-concat slot
+        # they occupy is equivalent for window counting).
+        elif n_pad and cand:
+            prev = cand[-1] if len(cand[-1]) else None
+            if prev is not None and len(prev):
+                cand.append(np.full(n_pad, prev.max()))
+    if not cand:
+        return 0
+    allc = np.sort(np.concatenate(cand))
+    s_cut = taper_support_z(taper, epsilon) * radius
+    # worst over columns = max candidates in any open interval of width
+    # 2*s_cut; scanning interval ends at candidate positions is exact
+    lo = np.searchsorted(allc, allc - 2 * s_cut, side="right")
+    hi = np.arange(1, allc.shape[0] + 1)
+    return int((hi - lo).max()) if allc.size else 0
+
+
 def halo_letkf_analysis(
     mesh: Mesh,
     localization,
@@ -309,15 +413,26 @@ def halo_letkf_analysis(
     newton_iters: int = 25,
     axis_name: str = "grid",
     use_pallas: bool = False,
-    cheb_degree: int = 16,
+    cheb_degree: int | None = None,
     comm: str = "ppermute",
     local_method: str = "topk",
+    max_obs_strict: bool = True,
 ) -> Callable:
     """Build a jitted obs-sharded LETKF analysis over ``mesh``.
 
     ``comm``: ``"ppermute"`` — XLA ring collectives (default);
     ``"rdma"`` — the halo exchange as one Pallas kernel of concurrent
     inter-chip remote DMAs (:func:`_ring_halo_rdma`), bit-identical blocks.
+
+    ``cheb_degree``: Chebyshev degree for the fused local solves
+    (``use_pallas`` / ``local_method="window"``). ``None`` (default) =
+    auto: each concrete call measures the spectral bound of the obs-space
+    operator host-side and picks the smallest sufficient degree
+    (:func:`_halo_auto_degree` — the multi-chip port of the class API's
+    auto degree); calls under an outer jit must pin an int validated
+    against a concrete auto call. ``max_obs_strict`` (default True) makes
+    concrete windowed calls raise when any column's in-support candidate
+    count (valid obs + pad slots) exceeds ``max_obs``.
 
     ``local_method``: ``"topk"`` (default) — dense taper over all halo
     candidates + ``top_k`` neighborhood selection per column (any
@@ -399,7 +514,8 @@ def halo_letkf_analysis(
                 "custom distances."
             )
 
-    def local_fn(state_loc, vals, var, lidx, ocoords, valid, gcoords, rho):
+    def local_fn(state_loc, vals, var, lidx, ocoords, valid, gcoords, rho,
+                 *, degree):
         k = state_loc.shape[0]
         # local obs equivalents from the local grid block
         ens_obs = jnp.take(state_loc, lidx, axis=-1)          # [k, o_ps]
@@ -457,7 +573,7 @@ def halo_letkf_analysis(
             reg = jnp.asarray(k - 1, state_loc.dtype) / rho
             out = letkf_window_analysis_fused(
                 cand[:k], cand[k], cand[k + 1], gcoords[:, 0], sp, mean_s,
-                reg, _win_radius, k, nb=max_obs, degree=cheb_degree,
+                reg, _win_radius, k, nb=max_obs, degree=degree,
                 taper=_win_taper, epsilon=_win_eps,
             )
             return out.astype(state_loc.dtype)
@@ -507,7 +623,7 @@ def halo_letkf_analysis(
             yh = c_innov[top_idx].T * sw.T                    # [nb, g]
             reg = jnp.asarray((k - 1) / inf_factor, c_perts.dtype)
             out = letkf_nbh_analysis_cheb(
-                zh, yh, sp, mean_s, reg, k, degree=cheb_degree
+                zh, yh, sp, mean_s, reg, k, degree=degree
             )
             return out.astype(state_loc.dtype)
         weights = letkf_weights_nbh(
@@ -519,38 +635,97 @@ def halo_letkf_analysis(
             "kg,gkm->mg", sp, weights, precision=jax.lax.Precision.HIGHEST
         )
 
-    @jax.jit
+    def _build(degree: int):
+        import functools
+
+        lf = functools.partial(local_fn, degree=degree)
+
+        @jax.jit
+        def analysis_fn_inner(state_data, obs_vals, obs_var, obs_local_idx,
+                              obs_coords, obs_valid, grid_coords):
+            # var spec depends on diag ([s*p]) vs correlated blocks
+            # ([s*p, p]); the shard_map is built at trace time so the spec
+            # can follow the input rank
+            var_spec = (P(axis_name, None) if obs_var.ndim == 2
+                        else P(axis_name))
+            sharded = jax.shard_map(
+                lf,
+                mesh=mesh,
+                in_specs=(
+                    P(None, axis_name),   # state [k, g]
+                    P(axis_name),         # obs vals
+                    var_spec,             # obs var (diag or cov blocks)
+                    P(axis_name),         # obs local idx
+                    P(axis_name, None),   # obs coords
+                    P(axis_name),         # obs valid
+                    P(axis_name, None),   # grid coords
+                    P(),                  # rho
+                ),
+                out_specs=P(None, axis_name),
+                # pallas_call outputs carry no varying-mesh-axes metadata,
+                # so the manual check is disabled only on the Pallas/RDMA
+                # branches; the plain-XLA branch keeps it
+                check_vma=not (use_pallas or comm == "rdma"
+                               or local_method == "window"),
+            )
+            return sharded(
+                state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
+                obs_valid, grid_coords,
+                jnp.asarray(inf_factor, state_data.dtype),
+            )
+
+        return analysis_fn_inner
+
+    _cache: dict = {}
+    needs_degree = use_pallas or local_method == "window"
+
     def analysis_fn(state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
                     obs_valid, grid_coords):
-        # var spec depends on diag ([s*p]) vs correlated blocks ([s*p, p]);
-        # the shard_map is built at trace time so the spec can follow the
-        # input rank
-        var_spec = P(axis_name, None) if obs_var.ndim == 2 else P(axis_name)
-        sharded = jax.shard_map(
-            local_fn,
-            mesh=mesh,
-            in_specs=(
-                P(None, axis_name),   # state [k, g]
-                P(axis_name),         # obs vals
-                var_spec,             # obs var (diag or cov blocks)
-                P(axis_name),         # obs local idx
-                P(axis_name, None),   # obs coords
-                P(axis_name),         # obs valid
-                P(axis_name, None),   # grid coords
-                P(),                  # rho
-            ),
-            out_specs=P(None, axis_name),
-            # pallas_call outputs carry no varying-mesh-axes metadata, so
-            # the manual check is disabled only on the Pallas/RDMA branches;
-            # the plain-XLA branch keeps it
-            check_vma=not (use_pallas or comm == "rdma"
-                           or local_method == "window"),
+        concrete = not any(
+            isinstance(a, jax.core.Tracer)
+            for a in (state_data, obs_vals, obs_var, obs_coords, obs_valid)
         )
-        return sharded(
-            state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
-            obs_valid, grid_coords,
-            jnp.asarray(inf_factor, state_data.dtype),
-        )
+        if (local_method == "window" and max_obs_strict and concrete):
+            # In-support precheck (VERDICT r3 #3): the fixed-size window is
+            # exact iff no column sees more in-support candidates (real obs
+            # PLUS coordinate-pinned pad slots) than max_obs — degree
+            # truncation and slot exhaustion are the two error classes the
+            # NaN-poison discipline cannot catch, so concrete callers fail
+            # loudly here like the class API does (interface/letkf.py).
+            worst = _halo_max_in_support(
+                obs_coords, obs_valid, n_shards, _win_radius, _win_taper,
+                _win_eps, halo_width,
+            )
+            if worst > max_obs:
+                raise ValueError(
+                    f"a grid column may see {worst} in-support candidates "
+                    f"(valid obs + pad slots) but max_obs={max_obs}: the "
+                    f"window selection would truncate. Raise max_obs to >= "
+                    f"{worst} (pad slots count — rebalance shard obs "
+                    "counts to shrink them) or pass max_obs_strict=False."
+                )
+        degree = cheb_degree
+        if degree is None and needs_degree:
+            if not concrete:
+                raise ValueError(
+                    "cheb_degree=None (auto) needs concrete inputs to "
+                    "measure the spectral bound; pin cheb_degree=<int> "
+                    "when calling the halo analysis under an outer jit "
+                    "(validate the pin against an auto-measured concrete "
+                    "call first)"
+                )
+            degree = _halo_auto_degree(
+                state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
+                obs_valid, n_shards, max_obs, inf_factor,
+                consecutive=(local_method == "window"),
+            )
+        elif degree is None:
+            degree = 16  # unused by the weight-based local solves
+        fn = _cache.get(degree)
+        if fn is None:
+            fn = _cache[degree] = _build(degree)
+        return fn(state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
+                  obs_valid, grid_coords)
 
     return analysis_fn
 
@@ -675,6 +850,10 @@ def _ring_halo_2d_masked(packed, coord_start, row_axis, col_axis,
             if off == 0:
                 out.append(block)
                 continue
+            if abs(off) >= n:
+                # wrapped for every tile on this axis — statically drop
+                # (see _ring_halo_sorted)
+                continue
             blk = jax.lax.ppermute(
                 block, axis_name,
                 perm=[(i, (i - off) % n) for i in range(n)],
@@ -701,11 +880,18 @@ def halo_letkf_analysis_2d(
     row_axis: str = "row",
     col_axis: str = "col",
     use_pallas: bool = False,
-    cheb_degree: int = 16,
+    cheb_degree: int | None = None,
     local_method: str = "topk",
     obs_block: int = 0,
+    max_obs_strict: bool = True,
 ) -> Callable:
     """Obs-sharded LETKF over a 2-D (row, col) domain decomposition.
+
+    ``cheb_degree=None`` (default) auto-measures the degree per concrete
+    call and ``max_obs_strict=True`` prechecks the per-column in-support
+    count on concrete windowed calls — see :func:`halo_letkf_analysis`
+    (2-D pad slots carry sentinel coordinates outside every band, so only
+    real observations count here).
 
     Returns
     -------
@@ -767,7 +953,8 @@ def halo_letkf_analysis_2d(
                 "periodic or custom distances."
             )
 
-    def local_fn(state_loc, vals, var, lidx, ocoords, valid, gcoords, rho):
+    def local_fn(state_loc, vals, var, lidx, ocoords, valid, gcoords, rho,
+                 *, degree):
         k, tr, tc = state_loc.shape
         state_flat = state_loc.reshape(k, tr * tc)
         ens_obs = jnp.take(state_flat, lidx, axis=-1)
@@ -818,7 +1005,7 @@ def halo_letkf_analysis_2d(
             out = letkf_window_analysis_fused_2d(
                 cand_w[:k], cand_w[k], cand_w[k + 1:].T, gflat2,
                 sp, mean_s, reg, _win_rx, _win_ry, k,
-                obs_block=obs_block, nb=max_obs, degree=cheb_degree,
+                obs_block=obs_block, nb=max_obs, degree=degree,
                 taper=_win_taper, epsilon=_win_eps, extra_radii=extra,
             )
             return out.reshape(k, tr, tc).astype(state_loc.dtype)
@@ -857,7 +1044,7 @@ def halo_letkf_analysis_2d(
             yh = c_innov[top_idx].T * sw.T
             reg = jnp.asarray((k - 1) / inf_factor, c_perts.dtype)
             out = letkf_nbh_analysis_cheb(
-                zh, yh, sp, mean_s, reg, k, degree=cheb_degree
+                zh, yh, sp, mean_s, reg, k, degree=degree
             ).astype(state_loc.dtype)
         else:
             weights = letkf_weights_nbh(
@@ -870,35 +1057,135 @@ def halo_letkf_analysis_2d(
                 precision=jax.lax.Precision.HIGHEST)
         return out.reshape(k, tr, tc)
 
-    @jax.jit
+    def _build(degree: int):
+        import functools
+
+        lf = functools.partial(local_fn, degree=degree)
+
+        @jax.jit
+        def analysis_fn_inner(state_data, obs_vals, obs_var, obs_local_idx,
+                              obs_coords, obs_valid, grid_coords):
+            var_spec = (
+                P((row_axis, col_axis), None)
+                if obs_var.ndim == 2
+                else P((row_axis, col_axis))
+            )
+            sharded = jax.shard_map(
+                lf,
+                mesh=mesh,
+                in_specs=(
+                    P(None, row_axis, col_axis),      # state [k, R, C]
+                    P((row_axis, col_axis)),          # obs vals (tile-major)
+                    var_spec,                         # obs var
+                    P((row_axis, col_axis)),
+                    P((row_axis, col_axis), None),
+                    P((row_axis, col_axis)),
+                    P(row_axis, col_axis, None),      # grid coords [R, C, d]
+                    P(),
+                ),
+                out_specs=P(None, row_axis, col_axis),
+                # see halo_letkf_analysis: check disabled only for Pallas
+                check_vma=not (use_pallas or local_method == 'window'),
+            )
+            return sharded(
+                state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
+                obs_valid, grid_coords,
+                jnp.asarray(inf_factor, state_data.dtype),
+            )
+
+        return analysis_fn_inner
+
+    _cache: dict = {}
+    needs_degree = use_pallas or local_method == "window"
+    n_tiles_mesh = int(m_rows) * int(m_cols)
+
+    def _check_support_2d(obs_coords, obs_valid, grid_coords):
+        """Per-shard exact in-support precheck: each tile's kernel sees the
+        valid obs of its (2hr+1) x (2hc+1) tile neighborhood (torus-wrapped
+        sources are sentinel-masked out on non-periodic domains and pad
+        slots carry out-of-band sentinel coordinates), tiled over the
+        LOCAL flat grid exactly like the kernel."""
+        import numpy as _np
+
+        from tpu_assim.ops.pallas.letkf import max_in_support_2d
+
+        coords = _np.asarray(obs_coords)
+        valid = _np.asarray(obs_valid) > 0
+        grid = _np.asarray(grid_coords)
+        R, C = grid.shape[0], grid.shape[1]
+        tr, tc = R // int(m_rows), C // int(m_cols)
+        p = coords.shape[0] // n_tiles_mesh
+        worst = 0
+        for i in range(int(m_rows)):
+            for j in range(int(m_cols)):
+                cand = []
+                for di in range(-halo_r, halo_r + 1):
+                    si = i + di
+                    if si < 0 or si >= int(m_rows):
+                        continue  # wrapped: sentinel-masked in the kernel
+                    for dj in range(-halo_c, halo_c + 1):
+                        sj = j + dj
+                        if sj < 0 or sj >= int(m_cols):
+                            continue
+                        t = si * int(m_cols) + sj
+                        sl = slice(t * p, (t + 1) * p)
+                        cand.append(coords[sl][valid[sl], :2])
+                gloc = grid[i * tr:(i + 1) * tr,
+                            j * tc:(j + 1) * tc].reshape(tr * tc, -1)[:, :2]
+                if cand:
+                    cxy = _np.concatenate(cand, axis=0)
+                    if cxy.shape[0]:
+                        worst = max(worst, max_in_support_2d(
+                            cxy, gloc, _win_rx, _win_ry, taper=_win_taper,
+                            epsilon=_win_eps,
+                        ))
+        return worst
+
     def analysis_fn(state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
                     obs_valid, grid_coords):
-        var_spec = (
-            P((row_axis, col_axis), None)
-            if obs_var.ndim == 2
-            else P((row_axis, col_axis))
+        concrete = not any(
+            isinstance(a, jax.core.Tracer)
+            for a in (state_data, obs_vals, obs_var, obs_coords, obs_valid,
+                      grid_coords)
         )
-        sharded = jax.shard_map(
-            local_fn,
-            mesh=mesh,
-            in_specs=(
-                P(None, row_axis, col_axis),      # state [k, R, C]
-                P((row_axis, col_axis)),          # obs vals (tile-major)
-                var_spec,                         # obs var (diag or blocks)
-                P((row_axis, col_axis)),
-                P((row_axis, col_axis), None),
-                P((row_axis, col_axis)),
-                P(row_axis, col_axis, None),      # grid coords [R, C, d]
-                P(),
-            ),
-            out_specs=P(None, row_axis, col_axis),
-            # see halo_letkf_analysis: check disabled only for Pallas
-            check_vma=not (use_pallas or local_method == 'window'),
-        )
-        return sharded(
-            state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
-            obs_valid, grid_coords,
-            jnp.asarray(inf_factor, state_data.dtype),
-        )
+        if local_method == "window" and max_obs_strict and concrete:
+            worst = _check_support_2d(obs_coords, obs_valid, grid_coords)
+            if worst > max_obs:
+                raise ValueError(
+                    f"a grid column may see {worst} in-support band obs "
+                    f"but max_obs={max_obs}: the 2-D window selection "
+                    f"would truncate. Raise max_obs to >= {worst} or pass "
+                    "max_obs_strict=False."
+                )
+        degree = cheb_degree
+        if degree is None and needs_degree:
+            if not concrete:
+                raise ValueError(
+                    "cheb_degree=None (auto) needs concrete inputs; pin "
+                    "cheb_degree=<int> under an outer jit (validate the "
+                    "pin against a concrete auto call first)"
+                )
+            import numpy as _np
+
+            # tile-major state flattening so the auto-degree's global-index
+            # reconstruction matches shard_observations_2d's bucketing
+            sd = _np.asarray(state_data)
+            k = sd.shape[0]
+            R, C = sd.shape[1], sd.shape[2]
+            tr, tc = R // int(m_rows), C // int(m_cols)
+            sd_tm = sd.reshape(k, int(m_rows), tr, int(m_cols), tc)
+            sd_tm = sd_tm.transpose(0, 1, 3, 2, 4).reshape(k, R * C)
+            degree = _halo_auto_degree(
+                sd_tm, obs_vals, obs_var, obs_local_idx, obs_coords,
+                obs_valid, n_tiles_mesh, max_obs, inf_factor,
+                consecutive=False,
+            )
+        elif degree is None:
+            degree = 16  # unused by the weight-based local solves
+        fn = _cache.get(degree)
+        if fn is None:
+            fn = _cache[degree] = _build(degree)
+        return fn(state_data, obs_vals, obs_var, obs_local_idx, obs_coords,
+                  obs_valid, grid_coords)
 
     return analysis_fn
