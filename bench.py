@@ -430,6 +430,39 @@ def run_all_configs():
           "unit": "grid-points/s (2-D 128x128 grid, ens=40, obs=1024,"
                   " GC rx=ry=4, monolithic fused2d kernel)"})
 
+    # -- config 8: production-scale 2-D (1024x1024, 1e5 obs, x-strips) ----
+    from tpu_assim.analysis import make_strip_letkf_2d
+
+    nr8 = nc8 = 1024
+    g8, o8 = nr8 * nc8, 100_000
+    rnd8 = np.random.RandomState(42)
+    yy8, xx8 = np.meshgrid(np.arange(nr8, dtype="f4"),
+                           np.arange(nc8, dtype="f4"), indexing="ij")
+    grid_xy8 = np.stack([xx8.ravel(), yy8.ravel()], 1)
+    cells8 = np.sort(rnd8.choice(g8, size=o8, replace=False)
+                     ).astype(np.int32)
+    obs_xy8 = grid_xy8[cells8]
+    w8 = (
+        jnp.asarray(rnd8.normal(size=(40, g8)).astype("f4")),
+        jnp.asarray(rnd8.normal(size=o8).astype("f4")),
+        jnp.asarray(np.ones(o8, dtype="f4")),
+    )
+    letkf8 = make_strip_letkf_2d(
+        GaspariCohn((4.0, 4.0), dist2), (cells8, grid_xy8, obs_xy8),
+        n_strips=16, inf_factor=1.1, cheb_degree=16,
+    )
+
+    @jax.jit
+    def step8(acc, *w):
+        return jnp.sum(letkf8(w[0] + acc * 1e-9, *w[1:])) * 1e-12
+
+    progress("config 8: production 2-D strips (compile ~5-10 min)...")
+    t8 = _chain_time(step8, w8, reps=8, r1=2, trials=2)
+    emit({"metric": "letkf_2d_production_grid_points_per_s",
+          "value": round(g8 / t8, 1),
+          "unit": "grid-points/s (2-D 1024x1024 grid, ens=40, obs=1e5,"
+                  " GC rx=ry=4, x-strip fused2d, auto window)"})
+
 
 def main():
     import jax

@@ -74,6 +74,10 @@ def main():
             max_obs=args.max_obs,
             halo_width=halo_width_for(args.radius, g / n_dev),
             inf_factor=1.1, use_pallas=use_pallas,
+            # pinned: the chained timing loop calls under an outer jit,
+            # where the auto degree cannot measure (validated at 12 for
+            # this conditioning, bench.py config 3)
+            cheb_degree=12,
         )
         h_args = tuple(
             jnp.asarray(a) for a in (w[0], vals, var, lidx, coords, valid,

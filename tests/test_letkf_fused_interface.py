@@ -440,6 +440,74 @@ class TestStaticGeometry:
         assert np.isfinite(np.asarray(out)).all()
 
 
+class TestStripLETKF2D:
+    """x-strip domain decomposition over the fused2d kernel
+    (make_strip_letkf_2d): strips + scatter-back must reproduce the
+    single-call fused2d analysis and the eigh oracle."""
+
+    def _workload(self, rng, nr=32, nc=32, o=64, k=8):
+        yy, xx = np.meshgrid(np.arange(nr, dtype="f8"),
+                             np.arange(nc, dtype="f8"), indexing="ij")
+        grid_xy = np.stack([xx.ravel(), yy.ravel()], 1)
+        cells = np.sort(rng.choice(nr * nc, size=o, replace=False)
+                        ).astype("i4")
+        obs_xy = grid_xy[cells]
+        state = rng.randn(k, nr * nc)
+        obs_vals = rng.randn(o)
+        obs_var = np.ones(o)
+        return state, obs_vals, obs_var, cells, grid_xy, obs_xy
+
+    def test_strips_match_fused2d_and_eigh(self, rng):
+        from tpu_assim.analysis import make_letkf_analysis, \
+            make_strip_letkf_2d
+        from tpu_assim.ops.pallas.letkf import max_in_support_2d
+
+        w = self._workload(rng)
+        state, obs_vals, obs_var, cells, grid_xy, obs_xy = w
+
+        def dist2(gc, oi):
+            return jnp.stack([jnp.abs(oi[:, 1] - gc[1]),
+                              jnp.abs(oi[:, 2] - gc[2])], 0)
+
+        loc = GaspariCohn((3.0, 3.0), dist2)
+        # strip tiles are taller than global tiles (128 cells of an 8-wide
+        # strip = 16 rows), so their y-bands hold more slot-consuming obs:
+        # size nb for the worst of both tilings (the strict build raises
+        # otherwise — test_strip_overflow_raises)
+        nb = max(8, max_in_support_2d(obs_xy, grid_xy, 3.0, 3.0)) + 8
+        args = tuple(jnp.asarray(a) for a in w)
+        dense2d = make_letkf_analysis(loc, 1.1, method="fused2d",
+                                      max_obs=nb, cheb_degree=24)(*args)
+        eigh = make_letkf_analysis(loc, 1.1, method="eigh")(*args)
+        strips = make_strip_letkf_2d(
+            loc, (cells, grid_xy, obs_xy), n_strips=4, inf_factor=1.1,
+            max_obs=nb, cheb_degree=24, tile=128,
+        )(jnp.asarray(state), jnp.asarray(obs_vals), jnp.asarray(obs_var))
+        scale = float(np.abs(np.asarray(eigh)).max())
+        assert np.isfinite(np.asarray(strips)).all()
+        # strips vs the one-call fused2d: same kernel math, different
+        # blocking — agreement to f32 reassociation noise
+        np.testing.assert_allclose(np.asarray(strips), np.asarray(dense2d),
+                                   rtol=5e-5, atol=5e-5)
+        rel = np.abs(np.asarray(strips) - np.asarray(eigh)).max() / scale
+        assert rel < 5e-4, rel
+
+    def test_strip_overflow_raises(self, rng):
+        from tpu_assim.analysis import make_strip_letkf_2d
+
+        w = self._workload(rng)
+        state, obs_vals, obs_var, cells, grid_xy, obs_xy = w
+
+        def dist2(gc, oi):
+            return jnp.stack([jnp.abs(oi[:, 1] - gc[1]),
+                              jnp.abs(oi[:, 2] - gc[2])], 0)
+
+        loc = GaspariCohn((3.0, 3.0), dist2)
+        with pytest.raises(ValueError, match="in-support"):
+            make_strip_letkf_2d(loc, (cells, grid_xy, obs_xy), n_strips=4,
+                                inf_factor=1.1, max_obs=2)
+
+
 class TestCorrelatedRFastPaths:
     """Correlated R through the functional entry points: every solver
     method consumes the Cholesky-whitened obs space (the reference's uniform

@@ -28,7 +28,12 @@ from tpu_assim.ops.localization import (
     neighborhood_select_window,
 )
 
-__all__ = ["make_letkf_analysis", "make_etkf_analysis", "make_cycle_step"]
+__all__ = [
+    "make_letkf_analysis",
+    "make_etkf_analysis",
+    "make_cycle_step",
+    "make_strip_letkf_2d",
+]
 
 
 def _normalized_obs_space(ens_obs, obs_vals, obs_var):
@@ -434,10 +439,13 @@ def make_letkf_analysis(
         g_grid = np.asarray(g_grid)
         g_obs = np.asarray(g_obs)
         blk_static = _host_harden(g_obs, g_grid)
+        # numpy (NOT jnp) constants: device-resident closure constants are
+        # fetched back host-side one by one at trace time — ~23 s each
+        # through the axon tunnel
         const_args = (
-            jnp.asarray(np.asarray(g_idx)) if g_idx is not None else None,
-            jnp.asarray(g_grid),
-            jnp.asarray(g_obs),
+            np.asarray(g_idx) if g_idx is not None else None,
+            g_grid,
+            g_obs,
         )
 
         @jax.jit
@@ -477,6 +485,235 @@ def make_letkf_analysis(
             ) if concrete else (obs_block if obs_block is not None else 0)
         return _impl_jit(state_data, obs_vals, obs_var, obs_idx,
                          grid_coords, obs_coords, blk)
+
+    return analysis_fn
+
+
+def make_strip_letkf_2d(
+    localization,
+    geometry: tuple,
+    n_strips: int,
+    inf_factor: float = 1.0,
+    max_obs: Optional[int] = None,
+    cheb_degree: int = 16,
+    max_obs_strict: bool = True,
+    tile: int = 128,
+):
+    """Production-scale 2-D LETKF: x-strip domain decomposition over the
+    monolithic fused2d kernel, static geometry.
+
+    The fused2d kernel's per-tile candidate band spans the tile's y-range
+    over the WHOLE domain width, so its selection cost grows linearly with
+    the grid's x extent (docs/solvers.md §6). For wide production grids
+    (e.g. 1024 x 1024) this builder splits the domain into ``n_strips``
+    x-strips, runs the fused kernel per strip over only the strip's
+    observations (plus the taper-support overlap — the single-chip analog
+    of the halo decomposition, parallel/halo.py), and scatters the strips
+    back. Exact: every strip sees all observations inside its columns'
+    taper support; strict in-support checks run per strip at build.
+
+    Parameters
+    ----------
+    geometry : concrete ``(obs_cells, grid_xy, obs_xy)`` — flat observed
+        cell index [o], grid coordinates [g, 2] (row-major, integer-like x
+        in column 0), obs coordinates [o, 2]. Static across calls; baked
+        as XLA constants (the cycled-DA setting).
+    n_strips : number of x-strips. All strip shapes are identical, so the
+        Pallas kernel compiles ONCE and the strip loop unrolls over
+        constants (offsets/bands fold at compile time).
+    max_obs : window size; None (default) = auto: the exact worst
+        per-column slot consumption measured under the strip tiling
+        (rounded up to a multiple of 4).
+
+    Returns ``fn(state_data [k, g], obs_vals [o], obs_var [o]) -> [k, g]``.
+    """
+    from tpu_assim.ops.localization import GaspariCohnInf, taper_support_z
+    from tpu_assim.ops.pallas.letkf import (
+        max_in_support_2d,
+        required_obs_block_2d,
+    )
+
+    cells = np.asarray(geometry[0])
+    gxy = np.asarray(geometry[1], dtype=np.float32)
+    oxy = np.asarray(geometry[2], dtype=np.float32)
+    g = gxy.shape[0]
+    o = oxy.shape[0]
+    radii = np.atleast_1d(np.asarray(localization.radius, dtype=float))
+    rx = float(radii[0])
+    ry = float(radii[1] if radii.size > 1 else radii[0])
+    taper = "gcinf" if isinstance(localization, GaspariCohnInf) else "gc2"
+    eps = float(localization.epsilon)
+    cut = taper_support_z(taper, eps) * rx
+
+    gx, gy = gxy[:, 0], gxy[:, 1]
+    bounds = np.linspace(gx.min(), gx.max() + 1e-6, n_strips + 1)
+    strip_of = np.clip(
+        np.searchsorted(bounds, gx, side="right") - 1, 0, n_strips - 1
+    )
+    cell_idx = []
+    gs = 0
+    for s in range(n_strips):
+        idx = np.nonzero(strip_of == s)[0]
+        # row-major order inside the strip (thin per-tile y-bands)
+        idx = idx[np.lexsort((gx[idx], gy[idx]))]
+        cell_idx.append(idx)
+        gs = max(gs, idx.shape[0])
+    gs = -(-gs // tile) * tile
+    # pad ragged strips by repeating their first cell — the duplicate
+    # column's analysis equals the real one and the scatter-back simply
+    # rewrites it
+    cell_idx = [
+        np.concatenate([idx, np.full(gs - len(idx), idx[0], idx.dtype)])
+        if len(idx) < gs else idx
+        for idx in cell_idx
+    ]
+
+    # per-strip obs: everything inside the strip's x-support window
+    ox = oxy[:, 0]
+    sel, p = [], 0
+    for s in range(n_strips):
+        lo = gx[cell_idx[s]].min() - cut
+        hi = gx[cell_idx[s]].max() + cut
+        sel.append(np.nonzero((ox > lo) & (ox < hi))[0])
+        p = max(p, sel[-1].shape[0])
+    p = max(-(-p // 8) * 8, 8)
+    obs_sel = np.zeros((n_strips, p), dtype=np.int64)
+    obs_valid = np.zeros((n_strips, p), dtype=np.float32)
+    big = np.float32(np.finfo(np.float32).max)
+    strip_oxy = np.full((n_strips, p, 2), big, dtype=np.float32)
+    blk = 8
+    worst = 0
+    for s in range(n_strips):
+        n_s = sel[s].shape[0]
+        obs_sel[s, :n_s] = sel[s]
+        obs_valid[s, :n_s] = 1.0
+        strip_oxy[s, :n_s] = oxy[sel[s]]
+        blk = max(blk, required_obs_block_2d(
+            oxy[sel[s], 1], gy[cell_idx[s]], ry, tile=tile))
+        if max_obs_strict or max_obs is None:
+            worst = max(worst, max_in_support_2d(
+                oxy[sel[s]], gxy[cell_idx[s]], rx, ry, taper=taper,
+                epsilon=eps, tile=tile))
+    if max_obs is None:
+        # auto: the exact worst per-column slot consumption under THIS
+        # strip tiling (taller strip tiles see wider y-bands than the
+        # global tiling, so a globally-sized window can overflow here)
+        max_obs = max(-(-worst // 4) * 4, 8)
+    elif max_obs_strict:
+        _raise_if_overflow(worst, max_obs)
+
+    # ------------------------------------------------------------------
+    # Single-kernel assembly: all strips share one multi-segment obs
+    # table ([n_strips * p] slots, each segment y-sorted with pad slots
+    # last) and one DMA-banded pallas_call (ops/pallas/letkf.py:
+    # _window2d_dma_call). Band offsets are computed HOST-SIDE here from
+    # the static geometry — per-tile constants, nothing to fold or check
+    # at compile time, and the n_strips-unrolled multi-kernel alternative
+    # overwhelmed the XLA/Mosaic compile at production scale.
+    # ------------------------------------------------------------------
+    from tpu_assim.ops.pallas.letkf import (
+        _resolve_interpret,
+        _window2d_dma_call,
+    )
+
+    k_rows = None  # resolved at first call from the state
+    ord_sel = np.zeros((n_strips, p), dtype=np.int64)
+    seg_valid = np.zeros((n_strips, p), dtype=np.float32)
+    seg_ox = np.full((n_strips, p), big, dtype=np.float32)
+    seg_oy = np.full((n_strips, p), big, dtype=np.float32)
+    for s in range(n_strips):
+        n_s = sel[s].shape[0]
+        ys = np.argsort(oxy[sel[s], 1], kind="stable")
+        ord_sel[s, :n_s] = sel[s][ys]
+        seg_valid[s, :n_s] = 1.0
+        seg_ox[s, :n_s] = oxy[sel[s][ys], 0]
+        seg_oy[s, :n_s] = oxy[sel[s][ys], 1]
+
+    # per-tile band offsets into the flat [n_strips * p] table (host-side
+    # mirror of the fused2d prologue: band = [min(gy) - 2ry, max(gy) + 2ry]
+    # within the tile's own strip segment; slice offsets 8-aligned with
+    # +8 width headroom — segments start 8-aligned since p is)
+    tiles_per_strip = gs // tile
+    n_tiles = n_strips * tiles_per_strip
+    bands = np.zeros((n_tiles, 3), dtype=np.float32)  # transposed below
+    o_bd = 8
+    for s in range(n_strips):
+        seg_y = seg_oy[s]  # sorted ascending, pads at +big
+        ty = gy[cell_idx[s]].reshape(tiles_per_strip, tile)
+        lo = ty.min(axis=1) - 2.0 * ry
+        hi = ty.max(axis=1) + 2.0 * ry
+        iy0 = np.clip(np.searchsorted(seg_y, lo), 0, p - 1)
+        iy1 = np.searchsorted(seg_y, hi, side="right")
+        off = np.minimum(iy0, np.maximum(p - 8, 0))
+        off = off - off % 8
+        width = int((iy1 - off).max()) if tiles_per_strip else 8
+        o_bd = max(o_bd, -(-width // 8) * 8)
+        t0 = s * tiles_per_strip
+        bands[t0:t0 + tiles_per_strip, 0] = s * p + off
+        bands[t0:t0 + tiles_per_strip, 1] = iy0 - off
+        bands[t0:t0 + tiles_per_strip, 2] = iy1 - off
+    o_bd = min(o_bd, p)
+    # clamp slice ends into the segment (width may exceed a segment's tail
+    # for tiles near the top; shift their offset down instead)
+    over = (bands[:, 0] % p) + o_bd - p
+    over = np.maximum(over, 0)
+    bands[:, 0] -= over
+    bands[:, 1] += over
+    bands[:, 2] += over
+
+    # gather-based scatter-back: for every original cell, one position in
+    # the strip concat (duplicate pad cells resolve to their real copy)
+    perm = np.concatenate(cell_idx)
+    inv = np.zeros(g, dtype=np.int64)
+    inv[perm] = np.arange(perm.shape[0])
+
+    # NOTE all closure constants stay NUMPY: a jnp.asarray here would live
+    # on the device, and jit tracing then fetches every one back host-side
+    # to embed as an HLO constant — ~23 s per array through the axon
+    # tunnel (measured: 9 fetches = 200 s of pure lowering stall)
+    rows_dma = 128  # lane dim of the transposed table (k + 3 <= 125)
+    cells_c = cells.astype(np.int32)
+    osel_flat = ord_sel.reshape(-1).astype(np.int32)
+    oval_flat = seg_valid.reshape(-1)
+    seg_ox_c = seg_ox.reshape(-1)
+    seg_oy_c = seg_oy.reshape(-1)
+    bands_c = np.ascontiguousarray(bands.T)            # [3, n_tiles] SMEM
+    perm_c = perm.astype(np.int32)
+    inv_c = inv.astype(np.int32)
+    grid2_c = np.stack([gx[perm], gy[perm]], axis=0)   # [2, n_strips*gs]
+
+    @jax.jit
+    def analysis_fn(state_data, obs_vals, obs_var):
+        k = state_data.shape[0]
+        if k + 3 > rows_dma:
+            raise ValueError("ensemble too large for the strip table")
+        f32 = jnp.float32
+        ens_obs = jnp.take(state_data, cells_c, axis=-1)
+        perts, innov = _normalized_obs_space(ens_obs, obs_vals, obs_var)
+        p_flat = (jnp.take(perts, osel_flat, axis=-1)
+                  * oval_flat[None, :]).astype(f32)     # [k, S*p]
+        i_flat = (jnp.take(innov, osel_flat) * oval_flat).astype(f32)
+        o_tot = p_flat.shape[1]
+        table_t = jnp.concatenate(
+            [p_flat, i_flat[None, :], seg_ox_c[None, :],
+             seg_oy_c[None, :],
+             jnp.zeros((rows_dma - k - 3, o_tot), f32)],
+            axis=0,
+        ).T                                             # [S*p, rows_dma]
+        mean = jnp.mean(state_data, axis=0)
+        sp = state_data - mean[None, :]
+        sp_all = jnp.take(sp, perm_c, axis=-1).astype(f32)[None]
+        mean3 = jnp.take(mean, perm_c).astype(f32)[None, None, :]
+        reg = jnp.asarray((k - 1) / inf_factor, f32)
+        scal = jnp.stack([reg, jnp.asarray(rx, f32),
+                          jnp.asarray(ry, f32)]).reshape(3,)
+        statics = (k, max_obs, cheb_degree, tile, eps, taper,
+                   max_obs_strict, 2, "x3", o_bd, _resolve_interpret(None))
+        out = _window2d_dma_call(
+            table_t, jnp.asarray(bands_c), jnp.asarray(grid2_c, f32),
+            sp_all, mean3, scal, statics
+        )[0]                                            # [k, S*gs]
+        return jnp.take(out, inv_c, axis=-1).astype(state_data.dtype)
 
     return analysis_fn
 

@@ -1230,7 +1230,7 @@ def _letkf_window2d_dma_kernel(scal_ref, nodes_ref, dct_ref, bands_ref,
     transposes it once, instead of XLA materializing [n_tiles, rows, o_b]
     gather blocks (0.37 ms/call of pure prologue on the 128x128 benchmark
     config — and an O(n_tiles * o_b) HBM blow-up that forbids
-    production-scale grids). ``bands_ref`` [n_tiles, 3] f32 in SMEM holds
+    production-scale grids). ``bands_ref`` [3, n_tiles] f32 in SMEM holds
     (slice offset, band start, band end) per tile — f32 so the custom-VJP
     boundary differentiates cleanly; exact for indices < 2^24.
 
@@ -1241,15 +1241,15 @@ def _letkf_window2d_dma_kernel(scal_ref, nodes_ref, dct_ref, bands_ref,
     of the tile, by the band definition)."""
     f32 = jnp.float32
     t = pl.program_id(0)
-    off = bands_ref[t, 0].astype(jnp.int32)
+    off = bands_ref[0, t].astype(jnp.int32)
     dma = pltpu.make_async_copy(
         pack_hbm.at[pl.ds(off, o_b), :], pack_vmem, sem
     )
     dma.start()
     dma.wait()
     pack = jnp.swapaxes(pack_vmem[:], 0, 1)    # [rows_pad, o_b]
-    a_rel = bands_ref[t, 1].astype(jnp.int32)
-    b_rel = bands_ref[t, 2].astype(jnp.int32)
+    a_rel = bands_ref[1, t].astype(jnp.int32)
+    b_rel = bands_ref[2, t].astype(jnp.int32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, o_b), 1)
     in_band = (iota >= a_rel) & (iota < b_rel)
     big = jnp.asarray(jnp.finfo(f32).max, f32)
@@ -1503,7 +1503,10 @@ def letkf_window_analysis_fused_2d(
         off = off - off % 8
         a_rel = (iy0 - off).astype(f32)
         b_rel = jnp.clip(iy1 - off, 0, o_bd).astype(f32)
-        bands = jnp.stack([off.astype(f32), a_rel, b_rel], axis=1)
+        # [3, n_tiles]: the minor dim of an SMEM window pads to 128,
+        # so the tile-major [n_tiles, 3] layout would cost 512 B per tile
+        # of SMEM (4 MB at production tile counts — over the 1 MB budget)
+        bands = jnp.stack([off.astype(f32), a_rel, b_rel], axis=0)
 
         def padv(row, fill=0.0):
             return jnp.pad(row, ((0, 0), (0, cpad)), constant_values=fill)
@@ -1725,7 +1728,7 @@ def _window2d_dma_pallas(pack_full, bands, grid2, sp, mean3, scal,
     """The DMA-banded 2-D window pallas_call: ``pack_full [o, rows_pad]``
     (transposed) stays in HBM and every tile DMAs its ``o_b``-wide band
     slice into VMEM scratch (see :func:`_letkf_window2d_dma_kernel`);
-    ``bands [n_tiles, 3]`` f32 rides in SMEM."""
+    ``bands [3, n_tiles]`` f32 rides in SMEM."""
     from tpu_assim.ops.localization import taper_support_z
 
     f32 = jnp.float32
@@ -1801,7 +1804,7 @@ def _window2d_dma_ref(pack_full, bands, grid2, sp, mean3, scal, *,
             [blk[:x_row], xm[None, :], blk[x_row + 1:]], axis=0
         )
 
-    packt = jax.vmap(slice_tile)(bands)
+    packt = jax.vmap(slice_tile)(bands.T)
     return _window2d_ref(packt, grid2, sp, mean3, scal,
                          ens_size=ens_size, nb=nb, degree=degree,
                          epsilon=epsilon, taper=taper, tile=tile,

@@ -503,7 +503,7 @@ def halo_letkf_analysis(
             "gcinf" if isinstance(localization, GaspariCohnInf) else "gc2"
         )
         _win_eps = float(localization.epsilon)
-        if getattr(localization, "dist_fn", None) is not None:
+        if getattr(localization, "dist_func", None) is not None:
             import logging
 
             logging.getLogger(__name__).warning(
@@ -942,7 +942,7 @@ def halo_letkf_analysis_2d(
         # Same constraint as the 1-D builder: the window path uses plain
         # per-dimension |obs - grid| coordinate distances (non-periodic
         # domains), ignoring any custom dist_fn.
-        if getattr(localization, "dist_fn", None) is not None:
+        if getattr(localization, "dist_func", None) is not None:
             import logging
 
             logging.getLogger(__name__).warning(
