@@ -333,8 +333,10 @@ def run_all_configs():
     import numpy as _np5
 
     idx5 = _np5.asarray(w5[3])
-    stencil5 = jnp.asarray(_np5.stack(
-        [(idx5 + s) % g5 for s in range(4)], axis=1).astype(_np5.int32))
+    # numpy constant (NOT jnp): device-resident closure constants are
+    # fetched back host-side at trace time (~23 s each on this tunnel)
+    stencil5 = _np5.stack(
+        [(idx5 + s) % g5 for s in range(4)], axis=1).astype(_np5.int32)
 
     def h5(state_data):
         return jnp.mean(jnp.take(state_data, stencil5, axis=-1), axis=-1)

@@ -126,6 +126,34 @@ class TestRK4:
         np.testing.assert_allclose(np.asarray(thin[-1]), np.asarray(full[-1]),
                                    atol=1e-12)
 
+    def test_fused_rk4_kernel_matches_integrator(self, rng):
+        """The one-kernel Pallas forecast reproduces the stepwise
+        RK4Integrator (same scheme; only stage-combination order
+        differs)."""
+        from tpu_assim.models.pallas_forecast import (
+            fused_rk4_steps,
+            supports_fused_rk4,
+        )
+
+        integ = RK4Integrator(Lorenz96(), dt=0.05)
+        state = jnp.asarray(rng.normal(size=(8, 128)) + 2.0)
+        assert supports_fused_rk4(integ, state.shape, state.dtype.itemsize)
+        ref = state
+        for _ in range(4):
+            ref = integ.integrate(ref)
+        fused = fused_rk4_steps(integ.model, state, integ.dt, 4)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_fused_rk4_gate(self):
+        from tpu_assim.models.pallas_forecast import supports_fused_rk4
+
+        integ = RK4Integrator(Lorenz96(), dt=0.05)
+        assert not supports_fused_rk4(integ, (100, 10_000_000))
+        assert not supports_fused_rk4(
+            RK4Integrator(lambda x: -x, dt=0.05), (8, 128)
+        )
+
 
 class TestCycledDA:
     """End-to-end: cycled LETKF on Lorenz-96 beats the free ensemble (the

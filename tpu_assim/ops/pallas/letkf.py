@@ -818,12 +818,55 @@ def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
                          *, ens_size, degree, nb, epsilon, taper,
                          support_z, strict, acc_form=False,
                          sel_prec="x3"):
+    # packed obs table [1, rows_pad, o] fully in VMEM: rows 0..k-1 perts,
+    # k innov, k+1 obs coords (padding rows unused)
+    _window1d_core(
+        obs_ref[:][0], scal_ref, nodes_ref, dct_ref, gridx_ref, sp_ref,
+        mean_ref, out_ref, ens_size=ens_size, degree=degree, nb=nb,
+        epsilon=epsilon, taper=taper, support_z=support_z, strict=strict,
+        acc_form=acc_form, sel_prec=sel_prec,
+    )
+
+
+def _letkf_window_dma_kernel(scal_ref, nodes_ref, dct_ref, offs_ref,
+                             gridx_ref, sp_ref, mean_ref, pack_hbm,
+                             out_ref, pack_vmem, sem,
+                             *, o_b, ens_size, degree, nb, epsilon, taper,
+                             support_z, strict, acc_form=False,
+                             sel_prec="x3"):
+    """DMA-blocked 1-D variant (the 2-D design of
+    :func:`_letkf_window2d_dma_kernel` applied to sorted 1-D obs): the
+    table lives ONCE in HBM, transposed ([o_pad, 128] — sublane slices
+    only need 8-alignment), and each tile DMAs its ``o_b``-wide slice at
+    ``offs_ref[0, t]`` instead of XLA materializing per-tile gather
+    blocks. Table pad columns already carry +float32.max coords and zero
+    values, and a slice may start up to 7 slots before the exact block
+    offset (8-alignment) — extra REAL obs below only shift every in-block
+    rank equally, so the clamped window selects the same observations."""
+    t = pl.program_id(0)
+    off = offs_ref[0, t].astype(jnp.int32)
+    dma = pltpu.make_async_copy(
+        pack_hbm.at[pl.ds(off, o_b), :], pack_vmem, sem
+    )
+    dma.start()
+    dma.wait()
+    _window1d_core(
+        jnp.swapaxes(pack_vmem[:], 0, 1), scal_ref, nodes_ref, dct_ref,
+        gridx_ref, sp_ref, mean_ref, out_ref, ens_size=ens_size,
+        degree=degree, nb=nb, epsilon=epsilon, taper=taper,
+        support_z=support_z, strict=strict, acc_form=acc_form,
+        sel_prec=sel_prec,
+    )
+
+
+def _window1d_core(pack, scal_ref, nodes_ref, dct_ref,
+                   gridx_ref, sp_ref, mean_ref, out_ref,
+                   *, ens_size, degree, nb, epsilon, taper,
+                   support_z, strict, acc_form=False,
+                   sel_prec="x3"):
     f32 = jnp.float32
     reg = scal_ref[0]
     radius = scal_ref[1]
-    # packed obs table [1, rows_pad, o]: rows 0..k-1 perts, k innov,
-    # k+1 obs coords (padding rows unused)
-    pack = obs_ref[:][0]
     k_rows = ens_size
     perts = pack[:k_rows]             # [k, o]
     innov = pack[k_rows:k_rows + 1]   # [1, o]
@@ -895,7 +938,8 @@ def _letkf_window_kernel(scal_ref, nodes_ref, dct_ref, obs_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("ens_size", "nb", "degree", "tile", "interpret",
-                     "epsilon", "obs_block", "taper", "strict", "sel_prec"),
+                     "epsilon", "obs_block", "taper", "strict", "sel_prec",
+                     "block_mode"),
 )
 def letkf_window_analysis_fused(
     perts: jnp.ndarray,
@@ -915,6 +959,7 @@ def letkf_window_analysis_fused(
     taper: str = "gc2",
     strict: bool = True,
     sel_prec: str = "x3",
+    block_mode: str = "dma",
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """The complete 1-D-window LETKF analysis as ONE Pallas kernel.
@@ -986,7 +1031,8 @@ def letkf_window_analysis_fused(
         obs_block = -(-obs_block // 8) * 8  # sublane-align
 
     statics = (ens_size, nb, degree, tile, epsilon, min(obs_block, o),
-               taper, strict, sel_prec, _resolve_interpret(interpret))
+               taper, strict, sel_prec, block_mode,
+               _resolve_interpret(interpret))
     out = _window_call(
         perts.astype(f32), innov.astype(f32), obs_x.astype(f32),
         grid_x.astype(f32), sp.astype(f32), mean3, scal, statics,
@@ -997,7 +1043,7 @@ def letkf_window_analysis_fused(
 
 def _window_pallas(perts, innov, obs_x, grid_x, sp, mean3, scal,
                    ens_size, nb, degree, tile, epsilon, obs_block, taper,
-                   strict, sel_prec, interpret):
+                   strict, sel_prec, block_mode, interpret):
     """The raw window-kernel pallas_call over padded f32 inputs
     (perts [k, o], innov [o], obs_x [o], grid_x [G], sp [ns, k, G],
     mean3 [ns, 1, G], G a multiple of tile)."""
@@ -1033,6 +1079,79 @@ def _window_pallas(perts, innov, obs_x, grid_x, sp, mean3, scal,
         )[None]                                            # [1, rows_pad, o]
         pack_idx = lambda i: (0, 0, 0)
         o_b = o
+    elif block_mode == "dma" and k + 2 <= 126:
+        # DMA-blocked path (see _letkf_window_dma_kernel): one transposed
+        # HBM table + per-tile slice offsets, no XLA gather blocks
+        big = jnp.asarray(jnp.finfo(f32).max, f32)
+        o_b = obs_block + 8                   # 8-aligned-offset headroom
+        o_pad = max(-(-o // 8) * 8, o_b)
+        tile_min = grid_x.reshape(n_tiles, tile).min(axis=1)
+        offs = jnp.minimum(
+            jnp.searchsorted(obs_x, tile_min, method="sort") - nb,
+            jnp.searchsorted(obs_x, tile_min - sup, side="right",
+                             method="sort"),
+        )
+        offs = jnp.clip(offs, 0, max(o - 1, 0)).astype(jnp.int32)
+        tile_max = grid_x.reshape(n_tiles, tile).max(axis=1)
+        rank_hi = jnp.searchsorted(obs_x, tile_max, side="right",
+                                   method="sort")
+        end_needed = jnp.maximum(
+            jnp.clip(rank_hi, 0, max(o - nb, 0)) + nb,
+            jnp.searchsorted(obs_x, tile_max + sup, method="sort"),
+        )
+        # same loud exactness guard as the gather path (vs the exact
+        # block width; the +8 slice headroom is never counted on)
+        bad_tile = (end_needed - offs) > obs_block
+        mean3 = mean3 + jnp.where(
+            jnp.repeat(bad_tile, tile), jnp.nan, 0.0
+        ).astype(f32)[None, None, :]
+        off8 = jnp.minimum(offs, o_pad - o_b)
+        off8 = off8 - off8 % 8
+        cpad = o_pad - o
+        table_t = jnp.concatenate(
+            [jnp.pad(perts, ((0, 0), (0, cpad))),
+             jnp.pad(innov[None, :], ((0, 0), (0, cpad))),
+             jnp.pad(obs_x[None, :], ((0, 0), (0, cpad)),
+                     constant_values=big),
+             jnp.zeros((128 - rows, o_pad), f32)],
+            axis=0,
+        ).T                                                # [o_pad, 128]
+        dma_kernel = functools.partial(
+            _letkf_window_dma_kernel, o_b=o_b, ens_size=ens_size,
+            degree=degree, nb=nb, epsilon=epsilon, taper=taper,
+            support_z=support_z, strict=strict, acc_form=not interpret,
+            sel_prec=("highest" if interpret else sel_prec),
+        )
+        return pl.pallas_call(
+            dma_kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, dp1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dp1, dp1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),    # offs [1, T]
+                pl.BlockSpec((1, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ns, 1, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),     # table
+            ],
+            out_specs=pl.BlockSpec((ns, k, tile), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ns, k, gp), f32),
+            scratch_shapes=[pltpu.VMEM((o_b, 128), f32),
+                            pltpu.SemaphoreType.DMA(())],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(scal, jnp.asarray(nodes)[None, :], jnp.asarray(dct),
+          off8[None, :].astype(f32), grid_x[None, :], sp, mean3, table_t)
     else:
         # Per-tile contiguous obs blocks (sorted obs => each tile's window
         # obs live in one slice; the block also spans every column's full
@@ -1161,7 +1280,7 @@ def _window_call_fwd(perts, innov, obs_x, grid_x, sp, mean3, scal, statics):
 
 def _window_call_bwd(statics, res, g):
     (ens_size, nb, degree, _tile, epsilon, _obs_block, taper, _strict,
-     _sel_prec, _interp) = statics
+     _sel_prec, _block_mode, _interp) = statics
     perts, innov, obs_x, grid_x, sp, mean3, scal = res
 
     def ref(p_, i_, ox_, gx_, sp_, m_, sc_):
