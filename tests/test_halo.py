@@ -640,3 +640,62 @@ class TestRdmaHalo:
 
         np.testing.assert_array_equal(
             np.asarray(via(_ring_halo_rdma)), np.asarray(via(_ring_halo)))
+
+
+class TestDistFnProbe:
+    """The window-path dist_fn warning fires only for distances that do
+    NOT behave as plain per-dimension |obs - grid| (round-4 advisor: the
+    old always-on warning was pure noise, dist_func being a required
+    constructor argument)."""
+
+    def test_plain_lambda_passes(self):
+        from tpu_assim.ops.localization import GaspariCohn
+        from tpu_assim.parallel.halo import _plain_abs_dist_probe
+
+        def dist1(gc, oi):
+            return jnp.abs(oi[:, 1] - gc[1])[None, :]
+
+        assert _plain_abs_dist_probe(GaspariCohn((4.0,), dist1), 1)
+
+        def dist2(gc, oi):
+            return jnp.stack([jnp.abs(oi[:, 1] - gc[1]),
+                              jnp.abs(oi[:, 2] - gc[2])], 0)
+
+        assert _plain_abs_dist_probe(GaspariCohn((4.0, 3.0), dist2), 2)
+
+    def test_periodic_fails(self):
+        from tpu_assim.ops.localization import GaspariCohn
+        from tpu_assim.parallel.halo import _plain_abs_dist_probe
+
+        def per(gc, oi):
+            d = jnp.abs(oi[:, 1] - gc[1])
+            return jnp.minimum(d, 40.0 - d)[None, :]
+
+        assert not _plain_abs_dist_probe(GaspariCohn((4.0,), per), 1)
+
+    def test_scaled_fails(self):
+        from tpu_assim.ops.localization import GaspariCohn
+        from tpu_assim.parallel.halo import _plain_abs_dist_probe
+
+        def scaled(gc, oi):
+            return (2.0 * jnp.abs(oi[:, 1] - gc[1]))[None, :]
+
+        assert not _plain_abs_dist_probe(GaspariCohn((4.0,), scaled), 1)
+
+    def test_window_build_is_quiet_for_plain_dist(self, caplog):
+        import logging
+
+        import jax
+        from jax.sharding import Mesh
+        from tpu_assim.ops.localization import GaspariCohn
+        from tpu_assim.parallel.halo import halo_letkf_analysis
+
+        def dist1(gc, oi):
+            return jnp.abs(oi[:, 1] - gc[1])[None, :]
+
+        mesh = Mesh(np.array(jax.devices()), ("grid",))
+        with caplog.at_level(logging.WARNING, logger="tpu_assim.parallel.halo"):
+            halo_letkf_analysis(mesh, GaspariCohn((4.0,), dist1),
+                                max_obs=8, halo_width=1,
+                                local_method="window")
+        assert not any("dist_fn" in r.message for r in caplog.records)

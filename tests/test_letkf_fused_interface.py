@@ -728,6 +728,32 @@ class TestMonolithic2DKernel:
         )
         assert np.isnan(np.asarray(out)).any()
 
+    def test_band_overflow_below_128_poisons(self, rng):
+        """Round-4 advisor regression: band population ABOVE obs_block but
+        below the 128-rounded DMA width must NaN-poison, not silently
+        truncate (the old guard compared against ceil128(obs_block), while
+        b_rel's clip drops anything beyond the o_b+8 slice)."""
+        from tpu_assim.ops.pallas.letkf import (
+            letkf_window_analysis_fused_2d, required_obs_block_2d)
+
+        w = self._workload_2d(rng, o=80)
+        state, obs_vals, obs_var, obs_idx, grid_xy, obs_xy = w
+        k = state.shape[0]
+        ens_obs = state[:, obs_idx]
+        mo = ens_obs.mean(0)
+        need = int(required_obs_block_2d(obs_xy[:, 1], grid_xy[:, 1], 4.0))
+        assert 16 < need <= 80  # the workload genuinely needs more than 16
+        out = letkf_window_analysis_fused_2d(
+            jnp.asarray(ens_obs - mo), jnp.asarray(obs_vals - mo),
+            jnp.asarray(obs_xy), jnp.asarray(grid_xy),
+            jnp.asarray(state - state.mean(0)), jnp.asarray(state.mean(0)),
+            jnp.asarray((k - 1) / 1.1, jnp.float32), 4.0, 4.0, k,
+            # nb=full so the strict x-window guard cannot fire — only the
+            # band-capacity guard distinguishes pass from silent truncation
+            obs_block=16, nb=80, degree=12, interpret=True,
+        )
+        assert np.isnan(np.asarray(out)).any()
+
     def test_obs_block_required(self, rng):
         from tpu_assim.ops.pallas.letkf import letkf_window_analysis_fused_2d
 

@@ -100,6 +100,92 @@ def test_inv_sqrt_newton_matches_eigh(rng):
     np.testing.assert_allclose(sq, ref_inv, atol=1e-8)
 
 
+class TestJacobiSVD:
+    """Pallas one-sided (Hestenes) Jacobi batched SVD (interpret mode) vs
+    jnp.linalg.svd — the TPU replacement for the reference's LAPACK call
+    in the IEnKS inner steps (pytassim/core/utils.py:122, core/ienks.py:
+    58-69, 92-106). Column signs are arbitrary in both; parity is checked
+    on singular values, recomposition, and orthogonality."""
+
+    def test_f64_parity(self, rng):
+        from tpu_assim.ops.pallas.svd import svd_jacobi
+
+        for k, b in [(8, 5), (40, 3), (13, 4)]:
+            a = jnp.asarray(rng.randn(b, k, k))
+            u, s, v = svd_jacobi(a, tile=8, interpret=True)
+            _, ref_s, _ = jnp.linalg.svd(a)
+            np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s),
+                                       rtol=1e-9, atol=1e-9)
+            assert bool(jnp.all(jnp.diff(s, axis=-1) <= 1e-12))  # descending
+            rec = jnp.einsum("bik,bk,bjk->bij", u, s, v)
+            np.testing.assert_allclose(np.asarray(rec), np.asarray(a),
+                                       rtol=1e-10, atol=1e-10)
+            eye = np.broadcast_to(np.eye(k), (b, k, k))
+            for q in (u, v):
+                orth = jnp.einsum("bki,bkj->bij", q, q)
+                np.testing.assert_allclose(np.asarray(orth), eye,
+                                           atol=1e-10)
+
+    def test_multi_batch_dims(self, rng):
+        from tpu_assim.ops.pallas.svd import svd_jacobi
+
+        a = jnp.asarray(rng.randn(2, 3, 6, 6))
+        u, s, v = svd_jacobi(a, tile=8, interpret=True)
+        assert u.shape == (2, 3, 6, 6) and s.shape == (2, 3, 6)
+        rec = jnp.einsum("...ik,...k,...jk->...ij", u, s, v)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(a),
+                                   atol=1e-10)
+
+    def test_near_singular(self, rng):
+        """Tiny-but-nonzero singular values keep full accuracy (Jacobi's
+        high relative accuracy); the IEnKS consumers invert s, so this is
+        the hard edge of their domain."""
+        from tpu_assim.ops.pallas.svd import svd_jacobi
+
+        k, b = 8, 3
+        q1, _ = np.linalg.qr(rng.randn(k, k))
+        q2, _ = np.linalg.qr(rng.randn(k, k))
+        sv = np.geomspace(1.0, 1e-8, k)
+        a = jnp.asarray(np.stack([q1 * 1.0, q1 * -1.0, q2]) @ np.diag(sv)
+                        @ np.stack([q2.T, q1.T, q1.T]))
+        u, s, v = svd_jacobi(a, tile=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(s),
+                                   np.broadcast_to(sv, (b, k)),
+                                   rtol=1e-9)
+        rec = jnp.einsum("bik,bk,bjk->bij", u, s, v)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(a),
+                                   atol=1e-12)
+
+    def test_grad_matches_xla_svd(self, rng):
+        """The custom pullback (expressed in the forward's own u, s, v)
+        equals XLA's svd VJP on sign-invariant compositions — the way the
+        IEnKS steps consume the factors (rev_svd recompositions)."""
+        import jax
+
+        from tpu_assim.ops.linalg import _svd_jacobi_diff
+
+        k, b = 10, 4
+        a = jnp.asarray(rng.randn(b, k, k))
+        c1 = jnp.asarray(rng.randn(b, k, k))
+        c2 = jnp.asarray(rng.randn(b, k))
+
+        def parts(u, s, v):
+            m1 = jnp.einsum("bik,bk,bjk->bij", u, 1.0 / s, v)
+            return jnp.sum(m1 * c1) + jnp.sum(jnp.log(s) * c2)
+
+        def loss_mine(x):
+            return parts(*_svd_jacobi_diff(x))
+
+        def loss_ref(x):
+            u, s, vh = jnp.linalg.svd(x, full_matrices=False)
+            return parts(u, s, jnp.swapaxes(vh, -1, -2))
+
+        g1 = jax.grad(loss_mine)(a)
+        g2 = jax.grad(loss_ref)(a)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-8, atol=1e-8)
+
+
 class TestJacobiEigh:
     """Pallas parallel-Jacobi batched symeig (interpret mode) vs
     jnp.linalg.eigh — the TPU replacement for the reference's LAPACK call
@@ -144,6 +230,38 @@ class TestJacobiEigh:
         rec = jnp.einsum("bik,bk,bjk->bij", evec, ev, evec)
         np.testing.assert_allclose(np.asarray(rec), np.asarray(a),
                                    atol=1e-9)
+
+    def test_early_exit_checks_all_offdiagonals(self, rng):
+        """Round-4 advisor regression: a matrix whose current-seating pair
+        entries (2i, 2i+1) are all zero but with off-diagonal mass
+        elsewhere must NOT exit before the first sweep. diag(1,2,3,4)
+        with A[0,2]=0.5 used to return its diagonal unchanged."""
+        from tpu_assim.ops.pallas.jacobi import eigh_jacobi
+
+        a = np.diag([1.0, 2.0, 3.0, 4.0])
+        a[0, 2] = a[2, 0] = 0.5
+        a = jnp.asarray(a)[None]
+        ev, evec = eigh_jacobi(a, sweeps=10, tile=8, interpret=True)
+        ref_ev, _ = jnp.linalg.eigh(a)
+        np.testing.assert_allclose(np.asarray(ev), np.asarray(ref_ev),
+                                   rtol=1e-12, atol=1e-12)
+        rec = jnp.einsum("bik,bk,bjk->bij", evec, ev, evec)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(a),
+                                   atol=1e-12)
+
+    def test_early_exit_still_fires_on_diagonal(self, rng):
+        """The full-matrix convergence check still exits immediately on an
+        (exactly) diagonal input — same eigenpairs, identity vectors."""
+        from tpu_assim.ops.pallas.jacobi import eigh_jacobi
+
+        d = np.array([3.0, 1.0, 4.0, 1.5, 9.0, 2.6])
+        a = jnp.asarray(np.diag(d))[None]
+        ev, evec = eigh_jacobi(a, sweeps=10, tile=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(ev)[0], np.sort(d),
+                                   atol=0.0)
+        orth = jnp.einsum("bki,bkj->bij", evec, evec)
+        np.testing.assert_allclose(np.asarray(orth)[0], np.eye(6),
+                                   atol=0.0)
 
     def test_multi_batch_dims_and_ordering(self, rng):
         from tpu_assim.ops.pallas.jacobi import eigh_jacobi

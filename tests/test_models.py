@@ -145,6 +145,30 @@ class TestRK4:
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                    rtol=1e-12, atol=1e-12)
 
+    def test_fused_rk4_grad_matches_xla(self, rng):
+        """Round-4 advisor regression: the fused kernel carries a custom
+        VJP (backward replays the XLA loop), so jax.grad through a fused
+        forecast works and matches grad of the stepwise integrator."""
+        import jax
+
+        from tpu_assim.models.pallas_forecast import fused_rk4_steps
+
+        integ = RK4Integrator(Lorenz96(), dt=0.05)
+        state = jnp.asarray(rng.normal(size=(4, 128)) + 2.0)
+
+        def loss_fused(x):
+            return jnp.sum(fused_rk4_steps(integ.model, x, integ.dt, 3) ** 2)
+
+        def loss_ref(x):
+            for _ in range(3):
+                x = integ.integrate(x)
+            return jnp.sum(x ** 2)
+
+        g_fused = jax.grad(loss_fused)(state)
+        g_ref = jax.grad(loss_ref)(state)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   rtol=1e-10, atol=1e-10)
+
     def test_fused_rk4_gate(self):
         from tpu_assim.models.pallas_forecast import supports_fused_rk4
 

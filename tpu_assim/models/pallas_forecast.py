@@ -45,7 +45,7 @@ def supports_fused_rk4(integrator, state_shape, dtype_bytes=4) -> bool:
     return n * dtype_bytes <= _MAX_STATE_BYTES
 
 
-def _rk4_kernel(state_ref, out_ref, *, model, dt, n_steps):
+def _rk4_body(model, dt):
     def body(_, x):
         k1 = model(x)
         k2 = model(x + (dt / 2.0) * k1)
@@ -53,7 +53,47 @@ def _rk4_kernel(state_ref, out_ref, *, model, dt, n_steps):
         k4 = model(x + dt * k3)
         return x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
 
-    out_ref[:] = jax.lax.fori_loop(0, n_steps, body, state_ref[:])
+    return body
+
+
+def _rk4_kernel(state_ref, out_ref, *, model, dt, n_steps):
+    out_ref[:] = jax.lax.fori_loop(0, n_steps, _rk4_body(model, dt),
+                                   state_ref[:])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2, 3, 4))
+def _fused_rk4(model, state2, dt, n_steps, interpret):
+    kernel = functools.partial(_rk4_kernel, model=model, dt=dt,
+                               n_steps=n_steps)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(state2.shape, state2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(state2)
+
+
+def _fused_rk4_fwd(model, state2, dt, n_steps, interpret):
+    return _fused_rk4(model, state2, dt, n_steps, interpret), state2
+
+
+def _fused_rk4_bwd(model, dt, n_steps, interpret, state2, g):
+    # Backward replays the SAME arithmetic as the plain-XLA scan (bitwise
+    # to reassociation) and reverse-differentiates it — so jax.grad
+    # through a fused cycle step works exactly as through the XLA path
+    # (round-4 advisor finding: a bare pallas_call has no VJP rule).
+    def run(x):
+        return jax.lax.fori_loop(0, n_steps, _rk4_body(model, dt), x)
+
+    _, vjp = jax.vjp(run, state2)
+    return (vjp(g)[0],)
+
+
+_fused_rk4.defvjp(_fused_rk4_fwd, _fused_rk4_bwd)
 
 
 @functools.partial(jax.jit,
@@ -65,21 +105,13 @@ def fused_rk4_steps(model, state, dt: float, n_steps: int,
     ``model`` must be hashable (the model objects here are static config)
     and composed of Mosaic-lowerable jnp ops. ``state`` is any [..., g]
     ensemble that fits VMEM (callers gate on :func:`supports_fused_rk4`).
+    Differentiable: carries a custom VJP whose backward replays the
+    plain-XLA RK4 loop (the forward semantics up to reassociation).
     """
     from tpu_assim.ops.pallas.letkf import _resolve_interpret
 
     shape = state.shape
     state2 = state.reshape(-1, shape[-1])
-    kernel = functools.partial(_rk4_kernel, model=model, dt=float(dt),
-                               n_steps=int(n_steps))
-    out = pl.pallas_call(
-        kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(state2.shape, state2.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=_resolve_interpret(interpret),
-    )(state2)
+    out = _fused_rk4(model, state2, float(dt), int(n_steps),
+                     _resolve_interpret(interpret))
     return out.reshape(shape)

@@ -213,19 +213,25 @@ def _jacobi_kernel(a_ref, evals_ref, evecs_ref, *, k, sweeps):
         return a, v
 
     def all_frozen(a):
-        """Convergence of the whole tile: every pair's off value is below
-        the freeze threshold of round_body. A sweep in that state applies
-        only identity rotations and re-seats back to the identity, so
-        exiting here is BITWISE identical to running the remaining
-        sweeps — the early exit is pure savings, never an approximation."""
-        d = jnp.sum(a * eye2[:, :, None], axis=1)
-        o = jnp.sum(a * anti[:, :, None], axis=1)
-        o = 0.5 * (o + _pairswap0(o, k))
-        dq = _pairswap0(d, k)
+        """Convergence of the whole tile: EVERY off-diagonal entry is below
+        the pairwise freeze threshold of round_body — not just the entries
+        of the current seating. (The cond runs before the first sweep, so a
+        current-pairs-only check would declare any matrix whose (2i, 2i+1)
+        entries happen to be small "converged" while off-diagonal mass
+        sits elsewhere — a silent wrong answer; round-4 advisor finding.)
+        If |a[i, j]| is below tol(i, j) for all i != j then whichever round
+        seats the pair (i, j) sees a frozen pair (the symmetrized off value
+        |(a_ij + a_ji) / 2| <= max(|a_ij|, |a_ji|) < tol), so a sweep in
+        this state applies only identity rotations and re-seats back to
+        the identity — exiting here is BITWISE identical to running the
+        remaining sweeps: pure savings, never an approximation."""
+        d = jnp.sum(a * eye2[:, :, None], axis=1)              # [K, T]
+        ad = jnp.abs(d)
         tol = jnp.asarray(8 * k * jnp.finfo(dtype).eps, dtype) * (
-            jnp.abs(d) + jnp.abs(dq)
-        ) + eps
-        return jnp.logical_not(jnp.any(jnp.abs(o) > tol))
+            ad[:, None, :] + ad[None, :, :]
+        ) + eps                                                # [K, K, T]
+        off = jnp.abs(a) * (1.0 - eye2)[:, :, None]
+        return jnp.logical_not(jnp.any(off > tol))
 
     def sweep_cond(state):
         a, _v, i = state

@@ -1597,9 +1597,13 @@ def letkf_window_analysis_fused_2d(
         iy1 = jnp.searchsorted(oy_all, hi, side="right",
                                method="sort").astype(jnp.int32)
         # Exactness guard: band population beyond the block width would
-        # silently drop in-support observations — NaN-poison those tiles
-        # (capacity is the 128-rounded DMA width below)
-        bad_tile = (iy1 - iy0) > (-(-o_b // 128) * 128)
+        # silently drop in-support observations — NaN-poison those tiles.
+        # Guard against o_b itself: the DMA slice is o_b + 8 wide but up
+        # to 7 slots are lost to the 8-aligned offset rounding below, so
+        # the +8 headroom is never counted on (round-4 advisor finding —
+        # the previous ceil-128 "capacity" admitted bands wider than the
+        # slice and b_rel's clip silently truncated them).
+        bad_tile = (iy1 - iy0) > o_b
         mean3 = mean3 + jnp.where(
             jnp.repeat(bad_tile, tile), jnp.nan, 0.0
         ).astype(f32)[None, None, :]

@@ -50,6 +50,57 @@ __all__ = [
 ]
 
 
+def _plain_abs_dist_probe(localization, n_dim: int) -> bool:
+    """Best-effort behavioral probe: does ``localization.dist_func`` act as
+    plain per-dimension ``|obs - grid|`` coordinate distance (the distance
+    the window kernels implement) on representative offsets?
+
+    Used only to decide whether the ``local_method='window'`` builders warn
+    about an ignored custom distance: ``dist_func`` is a *required*
+    constructor argument of the Gaspari-Cohn classes and callers follow the
+    ``[value, coord...]``-row convention with ad-hoc lambdas, so an
+    identity check against :func:`~tpu_assim.ops.localization.abs_distance`
+    would warn on every intended build (round-4 advisor finding). The probe
+    offsets span well beyond the taper support so periodic wrap distances
+    (e.g. :func:`periodic_distance` on typical domains) are detected. A
+    dist_func that raises on the probe, returns an unexpected layout, or
+    mismatches anywhere => ``False`` (=> warn).
+    """
+    df = getattr(localization, "dist_func", None)
+    if df is None:
+        return True
+    r = np.atleast_1d(np.asarray(localization.radius, dtype=float))
+    r = np.concatenate([r, np.repeat(r[-1], max(0, n_dim - r.size))])
+    r = np.maximum(r[:n_dim], 1e-6)
+    offs = np.array([0.0, 0.37, -1.13, 2.41, -8.5, 17.5])
+    gc = np.zeros(1 + n_dim)
+    gc[1:] = 5.0 * r                         # arbitrary interior base point
+    n_probe = offs.size * n_dim
+    oi = np.tile(gc, (n_probe, 1))
+    expect = np.zeros(n_probe)
+    for d in range(n_dim):
+        for j, o in enumerate(offs):
+            row = d * offs.size + j
+            oi[row, 1 + d] = gc[1 + d] + o * r[d]
+            expect[row] = abs(o) * r[d]
+    try:
+        got = np.asarray(
+            jnp.atleast_2d(df(jnp.asarray(gc), jnp.asarray(oi)))
+        )
+    except Exception:
+        return False
+    if got.ndim != 2 or got.shape[-1] != n_probe:
+        return False
+    # a plain per-dim distance: each probe varies exactly one coordinate,
+    # so every returned row is either the expected |delta| or zero — and
+    # the expected value appears in some row
+    tol = 1e-5 * max(float(r.max()), 1.0)
+    near_exp = np.abs(got - expect[None, :]) <= tol * (1.0 + expect)
+    near_zero = np.abs(got) <= tol
+    covered = near_exp.any(axis=0) | (expect <= tol)
+    return bool(((near_exp | near_zero).all()) and covered.all())
+
+
 def halo_width_for(radius: float, shard_span: float) -> int:
     """Number of neighbor shards (per side) that can hold nonzero-taper
     observations: the Gaspari-Cohn support is ``2 * radius``
@@ -503,7 +554,11 @@ def halo_letkf_analysis(
             "gcinf" if isinstance(localization, GaspariCohnInf) else "gc2"
         )
         _win_eps = float(localization.epsilon)
-        if getattr(localization, "dist_func", None) is not None:
+        # dist_func is a required constructor argument, so warn only when
+        # it does NOT behave as the plain coordinate distance the window
+        # kernel implements — otherwise the warning is pure noise on every
+        # intended build (round-4 advisor finding).
+        if not _plain_abs_dist_probe(localization, 1):
             import logging
 
             logging.getLogger(__name__).warning(
@@ -941,8 +996,9 @@ def halo_letkf_analysis_2d(
         _win_eps = float(localization.epsilon)
         # Same constraint as the 1-D builder: the window path uses plain
         # per-dimension |obs - grid| coordinate distances (non-periodic
-        # domains), ignoring any custom dist_fn.
-        if getattr(localization, "dist_func", None) is not None:
+        # domains), ignoring any custom dist_fn — warn only when dist_func
+        # does not behave as that plain distance (see the 1-D builder).
+        if not _plain_abs_dist_probe(localization, 2):
             import logging
 
             logging.getLogger(__name__).warning(
