@@ -467,6 +467,103 @@ def run_all_configs():
           "unit": "grid-points/s (2-D 1024x1024 grid, ens=40, obs=1e5,"
                   " GC rx=ry=4, x-strip fused2d, auto window)"})
 
+    # -- config 9: localized IEnKS (the iterative-smoother family) --------
+    # The flagship iterative smoother (reference interface/lienks.py:
+    # 31-163): 2 outer Gauss-Newton iterations over an L96 forecast
+    # window, each inner step running TWO batched [g, 40, 40] SVDs per
+    # column set through the Pallas one-sided Jacobi kernel
+    # (ops/pallas/svd.py; 106 ms vs 1537 ms stock XLA svd at that shape —
+    # scripts/validate_svd.py).
+    from tpu_assim.analysis import make_lienks_step
+    from tpu_assim.models import Lorenz96, RK4Integrator
+    from tpu_assim.ops.linalg import set_jacobi_dispatch
+
+    g9, o9 = 10000, 1000
+    w9 = tuple(jnp.asarray(a) for a in build_workload(40, g9, o9))
+    nb9 = exact_nb(max_in_support_1d(w9[5][:, 0], w9[4][:, 0], 20.0))
+    lienks = make_lienks_step(
+        GaspariCohn((20.0,), dist_fn), RK4Integrator(Lorenz96(), dt=0.05),
+        4, n_outer=2, tau=1.0, max_obs=nb9, selection="window",
+    )
+
+    @jax.jit
+    def step9(acc, *w):
+        return jnp.sum(lienks(w[0] + acc * 1e-9, *w[1:])) * 1e-12
+
+    progress("config 9: localized IEnKS (Pallas SVD)...")
+    t9 = _chain_time(step9, w9, reps=10, r1=2, trials=2)
+
+    # the same program with the stock-XLA batched SVD, for the on-record
+    # speedup of the native kernel inside its consumer
+    set_jacobi_dispatch(False)
+    try:
+        lienks_xla = make_lienks_step(
+            GaspariCohn((20.0,), dist_fn),
+            RK4Integrator(Lorenz96(), dt=0.05),
+            4, n_outer=2, tau=1.0, max_obs=nb9, selection="window",
+        )
+
+        @jax.jit
+        def step9x(acc, *w):
+            return jnp.sum(lienks_xla(w[0] + acc * 1e-9, *w[1:])) * 1e-12
+
+        progress("config 9b: localized IEnKS (stock XLA svd, slow)...")
+        t9x = _chain_time(step9x, w9, reps=3, r1=1, trials=2)
+    finally:
+        set_jacobi_dispatch(None)
+    emit({"metric": "lienks_grid_points_per_s",
+          "value": round(g9 / t9, 1),
+          "unit": "grid-points/s (localized IEnKS-Transform, ens=40, "
+                  "grid=10000, obs=1000, GC r=20, 2 outer iter, "
+                  "L96 4xRK4 window, Pallas one-sided-Jacobi SVD)",
+          "xla_svd_grid_points_per_s": round(g9 / t9x, 1),
+          "vs_xla_svd": round(t9x / t9, 2)})
+
+    # -- config 10: 4-D smoother conditioning (stacked obs times) ---------
+    # The reference's long-axis mechanism is obs-time stacking
+    # (pytassim/interface/base.py:222-241): 4 obs times over the same
+    # network quadruple the per-column obs load, pushing the solve
+    # spectrum into the high-degree Chebyshev regime the auto-degree
+    # logic is built for (docs/solvers.md).
+    n_t10 = 4
+    g10, o_b10 = 10000, 1000
+    w10b = build_workload(40, g10, o_b10)
+    rnd10 = np.random.RandomState(7)
+    oc10 = np.repeat(w10b[5], n_t10, axis=0)       # sorted stays sorted
+    oi10 = np.repeat(w10b[3], n_t10)
+    ov10 = rnd10.normal(size=o_b10 * n_t10).astype("f4")
+    var10 = np.ones(o_b10 * n_t10, dtype="f4")
+    nb10 = exact_nb(max_in_support_1d(oc10[:, 0], w10b[4][:, 0], 20.0))
+    # auto degree exactly as the class API measures it
+    # (interface/letkf.py:_auto_cheb_degree): spectral bound from the
+    # max nb10-consecutive sum of ||z_o||^2 over the sorted stacked obs
+    from tpu_assim.ops.pallas.letkf import cheb_degree_for
+
+    znorm = (w10b[0][:, oi10] - w10b[0][:, oi10].mean(0)) ** 2
+    cs10 = np.concatenate([[0.0], np.cumsum(znorm.sum(0))])
+    width10 = min(nb10, len(oi10))
+    tr_max10 = float((cs10[width10:] - cs10[:-width10]).max())
+    deg10 = cheb_degree_for(1.0 + tr_max10 / (39.0 / 1.1))
+    w10 = tuple(jnp.asarray(a) for a in
+                (w10b[0], ov10, var10, oi10, w10b[4], oc10))
+    letkf10 = make_letkf_analysis(
+        GaspariCohn((20.0,), dist_fn), inf_factor=1.1, method="fused1d",
+        max_obs=nb10, cheb_degree=deg10,
+    )
+
+    @jax.jit
+    def step10(acc, *w):
+        return jnp.sum(letkf10(w[0] + acc * 1e-9, *w[1:])) * 1e-12
+
+    progress(f"config 10: 4-D smoother stack (auto degree {deg10})...")
+    t10 = _chain_time(step10, w10, reps=50, r1=10, trials=3)
+    emit({"metric": "letkf_smoother4d_grid_points_per_s",
+          "value": round(g10 / t10, 1),
+          "unit": "grid-points/s (4 stacked obs times -> 4000 obs, "
+                  "ens=40, grid=10000, GC r=20, auto Chebyshev degree "
+                  f"{deg10})",
+          "auto_cheb_degree": int(deg10)})
+
 
 def main():
     import jax

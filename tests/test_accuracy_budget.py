@@ -28,12 +28,17 @@ BOUNDS = {
     "cheb deg12 window (headline)": 1e-5,
     "fused2d deg12 (128x128)": 1e-5,
     "fused2d deg16 (128x128)": 1e-5,
+    "fused1d smoother 4x-stack (auto degree)": 1e-5,
+    "halo window (8 dev)": 1e-5,
+    "strip2d (256x256, 4 strips)": 1e-5,
+    "large ens100 (2^16 cols, 4pt-mean H)": 1e-5,
 }
 
 
 @pytest.fixture(scope="module")
 def sweep_rows():
-    return {r["config"]: r["max_rel_err"] for r in sweep_main(n_sample=96)}
+    return {r["config"]: r["max_rel_err"]
+            for r in sweep_main(n_sample=96, full=False)}
 
 
 @pytest.mark.parametrize("config", sorted(BOUNDS))

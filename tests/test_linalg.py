@@ -186,6 +186,50 @@ class TestJacobiSVD:
                                    rtol=1e-8, atol=1e-8)
 
 
+class TestEighViaSVD:
+    """eigh_svd_jacobi: symmetric eigendecomposition through the one-sided
+    SVD kernel (evecs = V, evals = s * sign(diag(U^T V))) — the default
+    TPU eigh_psd dispatch since round 5 (115 ms vs 212 ms two-sided at
+    [10^4, 40, 40] f32; scripts/validate_eigh_svd.py)."""
+
+    def _check(self, a, atol=1e-9):
+        from tpu_assim.ops.pallas.svd import eigh_svd_jacobi
+
+        ev, evec = eigh_svd_jacobi(jnp.asarray(a), tile=8, interpret=True)
+        ref_ev, _ = jnp.linalg.eigh(jnp.asarray(a))
+        np.testing.assert_allclose(np.asarray(ev), np.asarray(ref_ev),
+                                   rtol=atol, atol=atol)
+        rec = jnp.einsum("bik,bk,bjk->bij", evec, ev, evec)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(a),
+                                   atol=atol)
+        k = a.shape[-1]
+        orth = jnp.einsum("bki,bkj->bij", evec, evec)
+        np.testing.assert_allclose(
+            np.asarray(orth), np.broadcast_to(np.eye(k), orth.shape),
+            atol=atol,
+        )
+
+    def test_spd(self, rng):
+        z = rng.randn(5, 12, 8)
+        self._check(np.einsum("bki,bmi->bkm", z, z) + 2 * np.eye(12))
+
+    def test_rank_deficient(self, rng):
+        z = rng.randn(4, 10, 3)
+        self._check(np.einsum("bki,bmi->bkm", z, z))
+
+    def test_degenerate_cluster(self, rng):
+        q = np.linalg.qr(rng.randn(3, 10, 10))[0]
+        evals = np.concatenate([np.full(6, 2.5), np.linspace(0.1, 9, 4)])
+        self._check(np.einsum("bik,k,bjk->bij", q, evals, q))
+
+    def test_indefinite_separated_magnitudes(self, rng):
+        """Negative eigenvalues recover their sign via diag(U^T V) as long
+        as no +/- magnitude tie exists (the documented caveat)."""
+        evals = np.array([-3.0, -1.2, 0.4, 2.0, 5.0, 7.7])
+        q = np.linalg.qr(rng.randn(4, 6, 6))[0]
+        self._check(np.einsum("bik,k,bjk->bij", q, evals, q))
+
+
 class TestJacobiEigh:
     """Pallas parallel-Jacobi batched symeig (interpret mode) vs
     jnp.linalg.eigh — the TPU replacement for the reference's LAPACK call

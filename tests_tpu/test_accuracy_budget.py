@@ -20,6 +20,10 @@ BOUNDS = {
     "cheb deg12 window (headline)": 1e-5,
     "fused2d deg12 (128x128)": 1e-5,
     "fused2d deg16 (128x128)": 1e-5,
+    "fused1d smoother 4x-stack (auto degree)": 1e-5,
+    "halo window (1 dev)": 1e-5,
+    "strip2d (256x256, 4 strips)": 1e-5,
+    "large ens100 (2^16 cols, 4pt-mean H)": 1e-5,
 }
 
 
@@ -27,7 +31,11 @@ BOUNDS = {
 def test_compiled_fused_error_within_committed_bound():
     from scripts.accuracy_sweep import main as sweep_main
 
-    rows = {r["config"]: r["max_rel_err"] for r in sweep_main(n_sample=96)}
+    # full=False: the CI-sized sweep (the full 1024^2-strip / 2^20-col
+    # shapes compile for minutes; their numbers are recorded by a
+    # standalone `python scripts/accuracy_sweep.py` run in docs/solvers.md)
+    rows = {r["config"]: r["max_rel_err"]
+            for r in sweep_main(n_sample=96, full=False)}
     for config, bound in BOUNDS.items():
         assert config in rows
         assert rows[config] < bound, (

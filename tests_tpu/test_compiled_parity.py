@@ -309,27 +309,87 @@ class TestJacobiCompiled:
 
     @if_tpu_decorator
     def test_eigh_psd_dispatches_to_jacobi(self, rng, monkeypatch):
-        """eigh_psd on TPU routes large f32 batches to the Pallas kernel by
-        default and falls back to XLA with TPU_ASSIM_JACOBI=0."""
+        """eigh_psd on TPU routes large f32 batches to the one-sided
+        Pallas kernel by default, to the two-sided kernel with
+        TPU_ASSIM_EIGH_KERNEL=twosided, and to XLA with
+        TPU_ASSIM_JACOBI=0."""
         import tpu_assim.ops.pallas.jacobi as jac
+        import tpu_assim.ops.pallas.svd as svdmod
         from tpu_assim.ops import linalg
 
         calls = []
-        orig = jac.eigh_jacobi
+        orig_one = svdmod.eigh_svd_jacobi
+        monkeypatch.setattr(
+            svdmod, "eigh_svd_jacobi",
+            lambda *a, **kw: calls.append("one") or orig_one(*a, **kw),
+        )
+        orig_two = jac.eigh_jacobi
         monkeypatch.setattr(
             jac, "eigh_jacobi",
-            lambda *a, **kw: calls.append(1) or orig(*a, **kw),
+            lambda *a, **kw: calls.append("two") or orig_two(*a, **kw),
         )
         z = rng.randn(512, 40, 16).astype("f4")
         a = jnp.asarray(np.einsum("bki,bmi->bkm", z, z)
                         + np.eye(40, dtype="f4"))
         w, v = linalg.eigh_psd(a)
-        assert calls, "default TPU dispatch must use the Jacobi kernel"
+        assert calls == ["one"], calls
         w_ref = np.linalg.eigvalsh(np.asarray(a, "f8"))
         assert np.abs(np.asarray(w, "f8") - w_ref).max() < 1e-4 * float(
             np.abs(w_ref).max()
         )
+        monkeypatch.setenv("TPU_ASSIM_EIGH_KERNEL", "twosided")
+        calls.clear()
+        linalg.eigh_psd(a)
+        assert calls == ["two"], calls
         monkeypatch.setenv("TPU_ASSIM_JACOBI", "0")
         calls.clear()
         linalg.eigh_psd(a)
         assert not calls
+
+
+class TestSVDCompiled:
+    """The one-sided Hestenes SVD kernel compiled on chip (the IEnKS
+    native obligation, SURVEY §2.10) and its eigh wrapper — measured on
+    v5e 2026-08-21 (scripts/validate_svd.py, scripts/validate_eigh_svd.py):
+    106 ms / 115 ms at [10^4, 40, 40] f32 vs 1537 / 982 ms XLA."""
+
+    @if_tpu_decorator
+    def test_svd_compiled_vs_f64_oracle(self, rng):
+        from tpu_assim.ops.pallas.svd import svd_jacobi
+
+        b, k = 512, 40
+        a64 = rng.randn(b, k, k).astype("f8")
+        a = jnp.asarray(a64, jnp.float32)
+        u, s, v = svd_jacobi(a, interpret=False)
+        s_ref = np.linalg.svd(a64, compute_uv=False)
+        assert np.abs(np.asarray(s, "f8") - s_ref).max() < 1e-4 * float(
+            s_ref.max()
+        )
+        u = np.asarray(u, "f8")
+        v = np.asarray(v, "f8")
+        rec = np.einsum("bik,bk,bjk->bij", u, np.asarray(s, "f8"), v)
+        assert np.abs(rec - a64).max() < 1e-4 * float(np.abs(a64).max())
+        for q in (u, v):
+            orth = np.einsum("bki,bkj->bij", q, q)
+            assert np.abs(orth - np.eye(k)).max() < 1e-4
+
+    @if_tpu_decorator
+    def test_eigh_svd_compiled_degenerate_cluster(self, rng):
+        """Same workload as the two-sided compiled test — the one-sided
+        dispatch must hold the same quality bars."""
+        from tpu_assim.ops.pallas.svd import eigh_svd_jacobi
+
+        k, b = 40, 512
+        z = rng.randn(b, k, 16).astype("f4")
+        a64 = np.einsum("bki,bmi->bkm", z.astype("f8"), z.astype("f8"))
+        a64 += np.eye(k) * 4.33
+        a = jnp.asarray(a64, jnp.float32)
+        ev_c, vec_c = eigh_svd_jacobi(a, interpret=False)
+        scale = float(np.abs(a64).max())
+        ev_ref = np.linalg.eigvalsh(a64)
+        assert float(jnp.abs(ev_c - ev_ref).max()) < 1e-4 * scale
+        vec = np.asarray(vec_c, np.float64)
+        rec = np.einsum("bik,bk,bjk->bij", vec, np.asarray(ev_c, "f8"), vec)
+        assert np.abs(rec - a64).max() < 5e-4 * scale
+        orth = np.einsum("bki,bkj->bij", vec, vec)
+        assert np.abs(orth - np.eye(k)).max() < 2e-5

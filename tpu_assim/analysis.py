@@ -33,6 +33,7 @@ __all__ = [
     "make_etkf_analysis",
     "make_cycle_step",
     "make_strip_letkf_2d",
+    "make_lienks_step",
 ]
 
 
@@ -527,17 +528,42 @@ def make_strip_letkf_2d(
 
     Returns ``fn(state_data [k, g], obs_vals [o], obs_var [o]) -> [k, g]``.
     """
-    from tpu_assim.ops.localization import GaspariCohnInf, taper_support_z
-    from tpu_assim.ops.pallas.letkf import (
-        max_in_support_2d,
-        required_obs_block_2d,
-    )
+    plan = _strip_plan_2d(localization, geometry[1], geometry[2], n_strips,
+                          max_obs, max_obs_strict, tile)
+    cells_c = np.asarray(geometry[0]).astype(np.int32)
 
-    cells = np.asarray(geometry[0])
-    gxy = np.asarray(geometry[1], dtype=np.float32)
-    oxy = np.asarray(geometry[2], dtype=np.float32)
+    @jax.jit
+    def analysis_fn(state_data, obs_vals, obs_var):
+        k = state_data.shape[0]
+        ens_obs = jnp.take(state_data, cells_c, axis=-1)
+        perts, innov = _normalized_obs_space(ens_obs, obs_vals, obs_var)
+        mean = jnp.mean(state_data, axis=0)
+        sp = state_data - mean[None, :]
+        reg = jnp.asarray((k - 1) / inf_factor, jnp.float32)
+        out = _strip_apply_2d(plan, perts, innov, sp[None], mean[None],
+                              reg, cheb_degree)
+        return out[0].astype(state_data.dtype)
+
+    return analysis_fn
+
+
+def _strip_plan_2d(localization, grid_xy, obs_xy, n_strips,
+                   max_obs, max_obs_strict, tile: int = 128):
+    """Host-side x-strip decomposition plan from CONCRETE 2-D geometry
+    (shared by :func:`make_strip_letkf_2d` and the class API's
+    ``LETKF(method="fused2d")`` auto-strips): per-strip column order +
+    scatter-back, the multi-segment y-sorted obs table layout, and the
+    per-tile DMA band offsets. All returned arrays are NUMPY — a
+    jnp.asarray here would live on the device, and jit tracing then
+    fetches every one back host-side to embed as an HLO constant (~23 s
+    per array through the axon tunnel; measured: 9 fetches = 200 s of
+    pure lowering stall)."""
+    from tpu_assim.ops.localization import GaspariCohnInf, taper_support_z
+    from tpu_assim.ops.pallas.letkf import max_in_support_2d
+
+    gxy = np.asarray(grid_xy, dtype=np.float32)
+    oxy = np.asarray(obs_xy, dtype=np.float32)
     g = gxy.shape[0]
-    o = oxy.shape[0]
     radii = np.atleast_1d(np.asarray(localization.radius, dtype=float))
     rx = float(radii[0])
     ry = float(radii[1] if radii.size > 1 else radii[0])
@@ -577,20 +603,10 @@ def make_strip_letkf_2d(
         sel.append(np.nonzero((ox > lo) & (ox < hi))[0])
         p = max(p, sel[-1].shape[0])
     p = max(-(-p // 8) * 8, 8)
-    obs_sel = np.zeros((n_strips, p), dtype=np.int64)
-    obs_valid = np.zeros((n_strips, p), dtype=np.float32)
     big = np.float32(np.finfo(np.float32).max)
-    strip_oxy = np.full((n_strips, p, 2), big, dtype=np.float32)
-    blk = 8
     worst = 0
-    for s in range(n_strips):
-        n_s = sel[s].shape[0]
-        obs_sel[s, :n_s] = sel[s]
-        obs_valid[s, :n_s] = 1.0
-        strip_oxy[s, :n_s] = oxy[sel[s]]
-        blk = max(blk, required_obs_block_2d(
-            oxy[sel[s], 1], gy[cell_idx[s]], ry, tile=tile))
-        if max_obs_strict or max_obs is None:
+    if max_obs_strict or max_obs is None:
+        for s in range(n_strips):
             worst = max(worst, max_in_support_2d(
                 oxy[sel[s]], gxy[cell_idx[s]], rx, ry, taper=taper,
                 epsilon=eps, tile=tile))
@@ -611,12 +627,6 @@ def make_strip_letkf_2d(
     # at compile time, and the n_strips-unrolled multi-kernel alternative
     # overwhelmed the XLA/Mosaic compile at production scale.
     # ------------------------------------------------------------------
-    from tpu_assim.ops.pallas.letkf import (
-        _resolve_interpret,
-        _window2d_dma_call,
-    )
-
-    k_rows = None  # resolved at first call from the state
     ord_sel = np.zeros((n_strips, p), dtype=np.int64)
     seg_valid = np.zeros((n_strips, p), dtype=np.float32)
     seg_ox = np.full((n_strips, p), big, dtype=np.float32)
@@ -667,55 +677,61 @@ def make_strip_letkf_2d(
     inv = np.zeros(g, dtype=np.int64)
     inv[perm] = np.arange(perm.shape[0])
 
-    # NOTE all closure constants stay NUMPY: a jnp.asarray here would live
-    # on the device, and jit tracing then fetches every one back host-side
-    # to embed as an HLO constant — ~23 s per array through the axon
-    # tunnel (measured: 9 fetches = 200 s of pure lowering stall)
-    rows_dma = 128  # lane dim of the transposed table (k + 3 <= 125)
-    cells_c = cells.astype(np.int32)
-    osel_flat = ord_sel.reshape(-1).astype(np.int32)
-    oval_flat = seg_valid.reshape(-1)
-    seg_ox_c = seg_ox.reshape(-1)
-    seg_oy_c = seg_oy.reshape(-1)
-    bands_c = np.ascontiguousarray(bands.T)            # [3, n_tiles] SMEM
-    perm_c = perm.astype(np.int32)
-    inv_c = inv.astype(np.int32)
-    grid2_c = np.stack([gx[perm], gy[perm]], axis=0)   # [2, n_strips*gs]
+    return {
+        "osel": ord_sel.reshape(-1).astype(np.int32),
+        "oval": seg_valid.reshape(-1),
+        "seg_ox": seg_ox.reshape(-1),
+        "seg_oy": seg_oy.reshape(-1),
+        "bands": np.ascontiguousarray(bands.T),       # [3, n_tiles] SMEM
+        "o_bd": int(o_bd),
+        "perm": perm.astype(np.int32),
+        "inv": inv.astype(np.int32),
+        "grid2": np.stack([gx[perm], gy[perm]], axis=0),
+        "max_obs": int(max_obs),
+        "rx": rx, "ry": ry, "taper": taper, "eps": eps,
+        "strict": bool(max_obs_strict), "tile": int(tile),
+    }
 
-    @jax.jit
-    def analysis_fn(state_data, obs_vals, obs_var):
-        k = state_data.shape[0]
-        if k + 3 > rows_dma:
-            raise ValueError("ensemble too large for the strip table")
-        f32 = jnp.float32
-        ens_obs = jnp.take(state_data, cells_c, axis=-1)
-        perts, innov = _normalized_obs_space(ens_obs, obs_vals, obs_var)
-        p_flat = (jnp.take(perts, osel_flat, axis=-1)
-                  * oval_flat[None, :]).astype(f32)     # [k, S*p]
-        i_flat = (jnp.take(innov, osel_flat) * oval_flat).astype(f32)
-        o_tot = p_flat.shape[1]
-        table_t = jnp.concatenate(
-            [p_flat, i_flat[None, :], seg_ox_c[None, :],
-             seg_oy_c[None, :],
-             jnp.zeros((rows_dma - k - 3, o_tot), f32)],
-            axis=0,
-        ).T                                             # [S*p, rows_dma]
-        mean = jnp.mean(state_data, axis=0)
-        sp = state_data - mean[None, :]
-        sp_all = jnp.take(sp, perm_c, axis=-1).astype(f32)[None]
-        mean3 = jnp.take(mean, perm_c).astype(f32)[None, None, :]
-        reg = jnp.asarray((k - 1) / inf_factor, f32)
-        scal = jnp.stack([reg, jnp.asarray(rx, f32),
-                          jnp.asarray(ry, f32)]).reshape(3,)
-        statics = (k, max_obs, cheb_degree, tile, eps, taper,
-                   max_obs_strict, 2, "x3", o_bd, _resolve_interpret(None))
-        out = _window2d_dma_call(
-            table_t, jnp.asarray(bands_c), jnp.asarray(grid2_c, f32),
-            sp_all, mean3, scal, statics
-        )[0]                                            # [k, S*gs]
-        return jnp.take(out, inv_c, axis=-1).astype(state_data.dtype)
 
-    return analysis_fn
+def _strip_apply_2d(plan, perts, innov, sp, mean, reg, cheb_degree,
+                    interpret=None):
+    """Run the strip plan's single DMA-banded fused2d kernel over
+    R^{-1/2}-normalized obs-space arrays (``perts [k, o]``, ``innov [o]``)
+    and multi-slice state (``sp [ns, k, g]``, ``mean [ns, g]``). Returns
+    the analysis [ns, k, g] in original column order."""
+    from tpu_assim.ops.pallas.letkf import (
+        _resolve_interpret,
+        _window2d_dma_call,
+    )
+
+    f32 = jnp.float32
+    k = perts.shape[0]
+    rows_dma = 128  # lane dim of the transposed table
+    if k + 3 > rows_dma:
+        raise ValueError("ensemble too large for the strip table "
+                         f"(ens_size={k} needs k + 3 <= {rows_dma})")
+    p_flat = (jnp.take(perts, plan["osel"], axis=-1)
+              * plan["oval"][None, :]).astype(f32)      # [k, S*p]
+    i_flat = (jnp.take(innov, plan["osel"]) * plan["oval"]).astype(f32)
+    o_tot = p_flat.shape[1]
+    table_t = jnp.concatenate(
+        [p_flat, i_flat[None, :], plan["seg_ox"][None, :],
+         plan["seg_oy"][None, :],
+         jnp.zeros((rows_dma - k - 3, o_tot), f32)],
+        axis=0,
+    ).T                                                 # [S*p, rows_dma]
+    sp_all = jnp.take(sp, plan["perm"], axis=-1).astype(f32)
+    mean3 = jnp.take(mean, plan["perm"], axis=-1).astype(f32)[:, None, :]
+    scal = jnp.stack([reg.astype(f32), jnp.asarray(plan["rx"], f32),
+                      jnp.asarray(plan["ry"], f32)]).reshape(3,)
+    statics = (k, plan["max_obs"], cheb_degree, plan["tile"], plan["eps"],
+               plan["taper"], plan["strict"], 2, "x3", plan["o_bd"],
+               _resolve_interpret(interpret))
+    out = _window2d_dma_call(
+        table_t, jnp.asarray(plan["bands"]),
+        jnp.asarray(plan["grid2"], f32), sp_all, mean3, scal, statics
+    )                                                   # [ns, k, S*gs]
+    return jnp.take(out, plan["inv"], axis=-1)
 
 
 def make_etkf_analysis(inf_factor: float = 1.0,
@@ -803,6 +819,167 @@ def make_cycle_step(
         return analyse(
             _forecast(state_data), obs_vals, obs_var, obs_idx, grid_coords,
             obs_coords
+        )
+
+    return step
+
+
+def make_lienks_step(
+    localization,
+    integrator,
+    n_int_steps: int,
+    n_outer: int = 3,
+    kind: str = "transform",
+    tau: float = 1.0,
+    epsilon: float = 1e-4,
+    max_obs: Optional[int] = None,
+    selection: str = "window",
+    max_obs_strict: bool = True,
+    obs_operator: Optional[Callable] = None,
+):
+    """Build a jitted localized-IEnKS analysis (the 4D-Var-shaped
+    smoother) for a [k, g] ensemble over a fixed assimilation window.
+
+    Per outer iteration (the composition the reference's VarAssimilation
+    template drives host-side, /root/reference/pytassim/interface/
+    variational.py:89-135 + lienks.py:68-118): apply the current
+    per-column weights to the prior ensemble, propagate the weighted
+    ensemble ``n_int_steps`` model steps, apply the obs operator, compute
+    R^{-1/2}-normalized obs-space statistics, and run one localized
+    Gauss-Newton inner step per grid column
+    (:func:`tpu_assim.ops.ienks.ienks_transform_step` /
+    ``ienks_bundle_step``, batched [g, k, k]). The whole ``n_outer``-
+    iteration loop is ONE jitted XLA program; the per-column K x K SVD
+    pair inside each inner step dispatches to the Pallas one-sided
+    Jacobi kernel on TPU (:func:`tpu_assim.ops.pallas.svd.svd_jacobi`).
+
+    The obs-network geometry is fixed across iterations, so the
+    neighborhood selection and taper weights are computed once and
+    reused (bitwise-identical to recomputing: the coordinates do not
+    change inside the window).
+
+    Parameters
+    ----------
+    localization : Gaspari-Cohn taper (or None for global).
+    integrator / n_int_steps : forward model for the window (e.g.
+        ``RK4Integrator(Lorenz96(), dt)``); None skips propagation
+        (3D / filter configuration).
+    kind : ``"transform"`` (dH/dW through the inverted weight
+        perturbations) or ``"bundle"`` (finite-difference scale
+        ``epsilon``) — reference core/ienks.py:71-77 vs :168-174.
+    max_obs / selection / max_obs_strict : fixed-size neighborhood
+        selection, as in :func:`make_letkf_analysis`.
+
+    Returns
+    -------
+    step(state_data [k, g], obs_vals [o], obs_var [o], obs_idx [o],
+         grid_coords [g, d], obs_coords [o, d]) -> analysis [k, g]
+    """
+    from tpu_assim.ops.ienks import ienks_bundle_step, ienks_transform_step
+    from tpu_assim.ops.localization import safe_sqrt
+
+    if kind not in ("transform", "bundle"):
+        raise ValueError(f"kind must be 'transform' or 'bundle', got {kind!r}")
+
+    def _forward(state_data):
+        if integrator is None or n_int_steps == 0:
+            return state_data
+        from tpu_assim.models.pallas_forecast import (
+            fused_rk4_steps,
+            supports_fused_rk4,
+        )
+
+        if supports_fused_rk4(integrator, state_data.shape,
+                              state_data.dtype.itemsize):
+            return fused_rk4_steps(integrator.model, state_data,
+                                   integrator.dt, n_int_steps)
+
+        def body(s, _):
+            return integrator.integrate(s), None
+
+        out, _ = jax.lax.scan(body, state_data, None, length=n_int_steps)
+        return out
+
+    @jax.jit
+    def step(state_data, obs_vals, obs_var, obs_idx, grid_coords,
+             obs_coords):
+        k, g = state_data.shape
+        mean = jnp.mean(state_data, axis=0)
+        perts = state_data - mean[None, :]                     # [k, g]
+
+        grid_info = jnp.concatenate(
+            [jnp.zeros((grid_coords.shape[0], 1), grid_coords.dtype),
+             grid_coords], axis=1,
+        )
+        obs_info = jnp.concatenate(
+            [jnp.zeros((obs_coords.shape[0], 1), obs_coords.dtype),
+             obs_coords], axis=1,
+        )
+        if localization is not None and max_obs is not None:
+            if selection == "window":
+                idx, w_nbh = neighborhood_select_window(
+                    localization, grid_info, obs_info, max_obs,
+                    strict=max_obs_strict,
+                )
+            else:
+                idx, w_nbh = neighborhood_select(
+                    localization, grid_info, obs_info, max_obs
+                )
+            sqrt_w = safe_sqrt(w_nbh).astype(state_data.dtype)  # [g, nb]
+        else:
+            idx = None
+            if localization is None:
+                w_loc = jnp.ones((g, obs_info.shape[0]), state_data.dtype)
+            else:
+                w_loc = localization.taper_weights(
+                    grid_info, obs_info
+                ).astype(state_data.dtype)
+            sqrt_w = safe_sqrt(w_loc)                           # [g, o]
+
+        eye = jnp.eye(k, dtype=state_data.dtype)
+        weights = jnp.broadcast_to(eye, (g, k, k))
+        tau_a = jnp.asarray(tau, state_data.dtype)
+        eps_a = jnp.asarray(epsilon, state_data.dtype)
+
+        for _ in range(n_outer):
+            if kind == "bundle":
+                # bundle propagates with eps*I + mean(W)
+                # (reference: ienks.py:157-164)
+                w_model = eps_a * eye + jnp.mean(weights, axis=-1,
+                                                 keepdims=True)
+            else:
+                w_model = weights
+            pseudo = mean[None, :] + jnp.einsum(
+                "kg,gkm->mg", perts, w_model,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            pseudo = _forward(pseudo)
+            if obs_operator is None:
+                ens_obs = jnp.take(pseudo, obs_idx, axis=-1)    # [k, o]
+            else:
+                ens_obs = obs_operator(pseudo)
+            perts_o, innov = _normalized_obs_space(ens_obs, obs_vals,
+                                                   obs_var)
+            if idx is not None:
+                scaled_perts = (
+                    perts_o[:, idx].transpose(1, 0, 2) * sqrt_w[:, None, :]
+                )                                               # [g, k, nb]
+                scaled_obs = (innov[idx] * sqrt_w)[:, None, :]
+            else:
+                scaled_perts = perts_o[None, :, :] * sqrt_w[:, None, :]
+                scaled_obs = (innov[None, :] * sqrt_w)[:, None, :]
+            if kind == "bundle":
+                weights = ienks_bundle_step(
+                    weights, scaled_perts, scaled_obs, tau_a, eps_a
+                )
+            else:
+                weights = ienks_transform_step(
+                    weights, scaled_perts, scaled_obs, tau_a
+                )
+
+        return mean[None, :] + jnp.einsum(
+            "kg,gkm->mg", perts, weights,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     return step

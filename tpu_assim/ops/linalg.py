@@ -64,18 +64,95 @@ def rev_evd(evals: jnp.ndarray, evects: jnp.ndarray) -> jnp.ndarray:
                       precision=jax.lax.Precision.HIGHEST)
 
 
+@jax.custom_vjp
+def _svd_jacobi_diff(tensor: jnp.ndarray):
+    from tpu_assim.ops.pallas.svd import svd_jacobi
+
+    return svd_jacobi(tensor)
+
+
+def _svd_jacobi_fwd(tensor):
+    out = _svd_jacobi_diff(tensor)
+    return out, out
+
+
+def _svd_jacobi_bwd(res, cot):
+    # Standard square-SVD pullback expressed in the FORWARD's own
+    # (u, s, v) — valid for any sign/order convention, so the Pallas
+    # kernel's outputs (signs arbitrary, like LAPACK's) feed it directly:
+    #   dA = U [ (F o sk(U^T dU)) S + S (F o sk(V^T dV)) + diag(ds) ] V^T
+    # with F_ij = 1/(s_j^2 - s_i^2) and sk(X) = X - X^T. Exactly repeated
+    # singular values zero-guard F (the gradient of any
+    # rotation-invariant composition stays correct; per-vector gradients
+    # are non-unique there for LAPACK too).
+    u, s, v = res
+    du, ds, dv = cot
+    hp = jax.lax.Precision.HIGHEST
+    s2 = s * s
+    den = s2[..., None, :] - s2[..., :, None]
+    f = jnp.where(den != 0.0, 1.0 / jnp.where(den == 0.0, 1.0, den), 0.0)
+
+    def sk(x):
+        return x - jnp.swapaxes(x, -1, -2)
+
+    k = s.shape[-1]
+    inner = jnp.zeros(s.shape[:-1] + (k, k), s.dtype)
+    if type(du) is not jax.interpreters.ad.Zero:
+        utdu = jnp.einsum("...ki,...kj->...ij", u, du, precision=hp)
+        inner = inner + (f * sk(utdu)) * s[..., None, :]
+    if type(dv) is not jax.interpreters.ad.Zero:
+        vtdv = jnp.einsum("...ki,...kj->...ij", v, dv, precision=hp)
+        inner = inner + s[..., :, None] * (f * sk(vtdv))
+    if type(ds) is not jax.interpreters.ad.Zero:
+        inner = inner + ds[..., :, None] * jnp.eye(k, dtype=s.dtype)
+    da = jnp.einsum("...ik,...kl,...jl->...ij", u, inner, v, precision=hp)
+    return (da,)
+
+
+_svd_jacobi_diff.defvjp(_svd_jacobi_fwd, _svd_jacobi_bwd)
+
+
 def svd(
-    tensor: jnp.ndarray, reg_value: jnp.ndarray | float = 0.0
+    tensor: jnp.ndarray,
+    reg_value: jnp.ndarray | float = 0.0,
+    use_jacobi: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Reduced SVD with additive regularization of the singular values.
 
     Matches torch.svd conventions used by the reference
     (pytassim/core/utils.py:96-124): returns ``v`` (not ``v^T``) such that
     ``tensor = u diag(s) v^T``.
+
+    Dispatch: large square f32 [B, K, K] batches on TPU go to the Pallas
+    one-sided Jacobi kernel by default
+    (:func:`tpu_assim.ops.pallas.svd.svd_jacobi`) — the IEnKS inner loops
+    run two such SVDs per grid column and XLA's batched svd at that shape
+    is even slower than its batched eigh (scripts/validate_svd.py). The
+    dispatch follows the same gate and controls as :func:`eigh_psd`
+    (``use_jacobi`` / :func:`set_jacobi_dispatch` / ``TPU_ASSIM_JACOBI``);
+    everything else stays on ``jnp.linalg.svd``. The Jacobi path is
+    differentiable via a custom pullback in its own outputs.
     """
-    u, s, vh = jnp.linalg.svd(tensor, full_matrices=False)
+    if use_jacobi is None:
+        use_jacobi = jacobi_dispatch_enabled()
+    k = tensor.shape[-1]
+    batch = 1
+    for dim in tensor.shape[:-2]:
+        batch *= dim
+    if (
+        use_jacobi
+        and tensor.dtype == jnp.float32
+        and tensor.ndim >= 3
+        and tensor.shape[-2] == k
+        and k <= 64
+        and batch >= 256
+        and jax.default_backend() == "tpu"
+    ):
+        u, s, v = _svd_jacobi_diff(tensor)
+    else:
+        u, s, vh = jnp.linalg.svd(tensor, full_matrices=False)
+        v = jnp.swapaxes(vh, -1, -2)
     s = s + reg_value
-    v = jnp.swapaxes(vh, -1, -2)
     return u, s, v
 
 
@@ -139,21 +216,31 @@ def eigh_psd(
     eigenvector columns — the reference's ``torch.symeig(..., upper=False)``,
     pytassim/core/utils.py:57).
 
-    Dispatch: large f32 [B, K, K] batches on TPU go to the Pallas
-    parallel-Jacobi kernel by DEFAULT
-    (:func:`tpu_assim.ops.pallas.jacobi.eigh_jacobi`): XLA's batched eigh
-    costs ~1.0 s for [10^4, 40, 40] f32 on v5e, the Jacobi kernel 171 ms
-    with eigenvectors (5.9x; compile ~7-13 s, measured 2026-08-20 —
-    scripts/validate_jacobi.py). Compiled-f32 quality at that shape:
-    eigenvector orthogonality ~1e-5 (incl. a 24-fold degenerate cluster),
-    reconstruction ~1e-4..2e-4 relative — the f32 roundoff floor.
-    Everything else (f64 parity paths on CPU, tiny batches, K > 64) stays
-    on ``jnp.linalg.eigh``.
+    Dispatch: large f32 [B, K, K] batches on TPU go to a Pallas Jacobi
+    kernel by DEFAULT — since round 5 the ONE-SIDED Hestenes kernel
+    (:func:`tpu_assim.ops.pallas.svd.eigh_svd_jacobi`: eigenvectors = V of
+    the SVD, eigenvalues sign-recovered from diag(U^T V)), whose
+    transposed carry keeps every per-round op on the cheap untiled axis:
+    115 ms at [10^4, 40, 40] f32 random SPD on v5e vs 212 ms for the
+    two-sided :func:`~tpu_assim.ops.pallas.jacobi.eigh_jacobi` and ~1.0 s
+    for XLA's batched eigh (8.5x), at equal or better compiled-f32
+    quality — orthogonality ~1e-5, reconstruction 2.6e-5 relative incl. a
+    24-fold degenerate cluster (scripts/validate_eigh_svd.py; the
+    two-sided kernel remains available via
+    ``TPU_ASSIM_EIGH_KERNEL=twosided``). Everything else (f64 parity
+    paths on CPU, tiny batches, K > 64) stays on ``jnp.linalg.eigh``.
+
+    One-sided caveat: a symmetric matrix with an EXACT +lambda/-lambda
+    magnitude tie has a degenerate singular subspace, where V may mix the
+    two eigendirections — impossible for the PSD inputs this function is
+    for (see :func:`eigh_svd_jacobi`); pass
+    ``TPU_ASSIM_EIGH_KERNEL=twosided`` for indefinite spectra with
+    magnitude ties.
 
     ``use_jacobi`` controls the dispatch explicitly (a *static*, trace-time
-    choice — the two backends are different compiled programs); ``None``
+    choice — the backends are different compiled programs); ``None``
     defers to :func:`set_jacobi_dispatch` / the ``TPU_ASSIM_JACOBI`` env
-    var. Note that flipping the env var after a caller has been
+    var. Note that flipping the env vars after a caller has been
     jit-compiled cannot retroactively change that caller's backend.
     """
     if use_jacobi is None:
@@ -170,9 +257,15 @@ def eigh_psd(
         and batch >= 256
         and jax.default_backend() == "tpu"
     ):
-        from tpu_assim.ops.pallas.jacobi import eigh_jacobi
+        import os
 
-        return eigh_jacobi(tensor)
+        if os.environ.get("TPU_ASSIM_EIGH_KERNEL", "onesided") == "twosided":
+            from tpu_assim.ops.pallas.jacobi import eigh_jacobi
+
+            return eigh_jacobi(tensor)
+        from tpu_assim.ops.pallas.svd import eigh_svd_jacobi
+
+        return eigh_svd_jacobi(tensor)
     return jnp.linalg.eigh(tensor)
 
 

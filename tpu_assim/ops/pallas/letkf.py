@@ -1071,6 +1071,20 @@ def _window_pallas(perts, innov, obs_x, grid_x, sp, mean3, scal,
     rows_pad = -(-rows // 8) * 8
     sup = jnp.asarray(support_z, obs_x.dtype) * scal[1]    # scal[1] = radius
 
+    if block_mode == "dma" and obs_block < o and k + 2 > 126:
+        # The DMA table stores [k perts | innov | coord] rows in the 128
+        # lanes of the transposed table; k + 2 > 126 does not fit. Loud
+        # (round-4 advisor finding: never a silent mode change): warn that
+        # this shape takes the gather-block path instead.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "block_mode='dma' needs ens_size + 2 <= 126 rows in the "
+            "transposed obs table (got ens_size=%d); falling back to "
+            "XLA gather blocks (block_mode='gather') — identical "
+            "results, more prologue HBM traffic.", k,
+        )
+        block_mode = "gather"
     if obs_block >= o:
         # single shared packed obs table, replicated to every tile
         pack = jnp.concatenate(
@@ -1079,7 +1093,7 @@ def _window_pallas(perts, innov, obs_x, grid_x, sp, mean3, scal,
         )[None]                                            # [1, rows_pad, o]
         pack_idx = lambda i: (0, 0, 0)
         o_b = o
-    elif block_mode == "dma" and k + 2 <= 126:
+    elif block_mode == "dma":
         # DMA-blocked path (see _letkf_window_dma_kernel): one transposed
         # HBM table + per-tile slice offsets, no XLA gather blocks
         big = jnp.asarray(jnp.finfo(f32).max, f32)
