@@ -45,3 +45,51 @@ def test_strips_match_fused2d_compiled():
     )(jnp.asarray(state), jnp.asarray(vals), jnp.asarray(var)))
     assert np.isfinite(strips).all()
     np.testing.assert_allclose(strips, direct, rtol=5e-5, atol=5e-5)
+
+
+@if_tpu_decorator
+def test_class_auto_strips_compiled():
+    """LETKF(method='fused2d') class-level auto-strips on chip: the wide
+    grid engages the strip plan and matches the pinned single-kernel
+    run (round-5 class-API strip fold)."""
+    from tpu_assim import EnsembleState, LETKF, Observation
+    from tpu_assim.ops.localization import GaspariCohn
+
+    nr, nc, k, o = 8, 640, 10, 256
+    g = nr * nc
+    rnd = np.random.RandomState(11)
+    yy, xx = np.meshgrid(np.arange(nr, dtype="f4"),
+                         np.arange(nc, dtype="f4"), indexing="ij")
+    grid_xy = np.stack([xx.ravel(), yy.ravel()], 1)
+    data = rnd.normal(size=(1, 1, k, g)).astype("f4")
+    state = EnsembleState(jnp.asarray(data), times=jnp.asarray([0.0]),
+                          grid_coords=jnp.asarray(grid_xy))
+    obs_idx = np.sort(rnd.choice(g, size=o, replace=False))
+    truth = np.asarray(state.data[0].mean(axis=1))[:, obs_idx]
+    obs_vals = truth + rnd.normal(scale=0.5, size=truth.shape)
+
+    def operator(obs, pseudo_state):
+        return pseudo_state.data[0][:, :, obs_idx]
+
+    obs = Observation(jnp.asarray(obs_vals.astype("f4")),
+                      covariance=jnp.full((o,), np.float32(0.5)),
+                      obs_coords=jnp.asarray(grid_xy[obs_idx]),
+                      times=state.times, operator=operator)
+
+    def dist2(gc, oi):
+        return jnp.stack([jnp.abs(oi[:, 1] - gc[1]),
+                          jnp.abs(oi[:, 2] - gc[2])], 0)
+
+    loc = GaspariCohn((3.0, 3.0), dist2)
+    auto = LETKF(localization=loc, inf_factor=1.1, max_obs=48,
+                 method="fused2d", chunksize=None)
+    out_auto = auto.assimilate(state, obs)
+    assert auto._strip_cache is not None, "auto-strips did not engage"
+    direct = LETKF(localization=loc, inf_factor=1.1, max_obs=48,
+                   method="fused2d", chunksize=None, n_strips=1)
+    out_dir = direct.assimilate(state, obs)
+    a = np.asarray(out_auto.data, "f8")
+    b = np.asarray(out_dir.data, "f8")
+    assert np.isfinite(a).all()
+    scale = max(np.abs(b).max(), 1.0)
+    np.testing.assert_allclose(a, b, atol=5e-5 * scale, rtol=0)
