@@ -564,6 +564,80 @@ def run_all_configs():
                   f"{deg10})",
           "auto_cheb_degree": int(deg10)})
 
+    # -- config 11: localized kernelized ETKF at grid scale ---------------
+    # The LKETKF O(g*nb) fast path (interface/lketkf.py) with a Gauss
+    # kernel: per-column kernelized solve over sorted-window obs
+    # neighborhoods, whose batched [g, 40, 40] eigendecomposition rides
+    # the one-sided Pallas kernel — the eigh consumer at grid scale.
+    from tpu_assim.interface.lketkf import _lketkf_solve
+
+    g11, o11 = 10000, 1000
+    w11 = tuple(jnp.asarray(a) for a in build_workload(40, g11, o11))
+    loc11 = GaspariCohn((20.0,), dist_fn)
+    nb11 = exact_nb(max_in_support_1d(w11[5][:, 0], w11[4][:, 0], 20.0))
+    kern11 = GaussKernel(lengthscale=2.0)
+    hp = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def step11(acc, *w):
+        state = w[0] + acc * 1e-9
+        ens_obs = jnp.take(state, w[3], axis=-1)
+        rcinv = 1.0 / jnp.sqrt(w[2])
+        mean = jnp.mean(ens_obs, axis=0, keepdims=True)
+        perts = (ens_obs - mean) * rcinv
+        innov = (w[1] - mean[0]) * rcinv
+        gi = jnp.concatenate(
+            [jnp.zeros((w[4].shape[0], 1), w[4].dtype), w[4]], axis=1)
+        oi = jnp.concatenate(
+            [jnp.zeros((w[5].shape[0], 1), w[5].dtype), w[5]], axis=1)
+        weights = _lketkf_solve(
+            loc11, None, "eigh", 25, nb11, "window", True, kern11,
+            perts, innov, gi, oi, jnp.asarray(1.1, perts.dtype),
+        )
+        sm = jnp.mean(state, axis=0)
+        out = sm[None, :] + jnp.einsum(
+            "kg,gkm->mg", state - sm[None, :], weights, precision=hp)
+        return jnp.sum(out) * 1e-12
+
+    progress("config 11: localized KETKF (window neighborhoods)...")
+    t11 = _chain_time(step11, w11, reps=20, r1=4, trials=3)
+    emit({"metric": "lketkf_grid_points_per_s",
+          "value": round(g11 / t11, 1),
+          "unit": "grid-points/s (localized KETKF, Gauss kernel, ens=40, "
+                  "grid=10000, obs=1000, GC r=20, window neighborhoods, "
+                  "Pallas one-sided eigh)"})
+
+    # -- config 12: correlated observation errors (full [o, o] R) ---------
+    # The reference's correlated-R contract (observation.py:249-250
+    # torch.cholesky) at the benchmark scale: one [1000, 1000] Cholesky +
+    # two triangular solves whiten the obs space, then the fused1d kernel
+    # runs unchanged.
+    g12, o12 = 10000, 1000
+    w12b = build_workload(40, g12, o12)
+    ocoord12 = w12b[5][:, 0]
+    corr12 = np.exp(-np.abs(ocoord12[:, None] - ocoord12[None, :]) / 15.0
+                    ).astype("f4")
+    corr12 += np.eye(o12, dtype="f4") * 0.1
+    nb12 = exact_nb(max_in_support_1d(w12b[5][:, 0], w12b[4][:, 0], 20.0))
+    letkf12 = make_letkf_analysis(
+        GaspariCohn((20.0,), dist_fn), inf_factor=1.1, method="fused1d",
+        max_obs=nb12, cheb_degree=12,
+    )
+    w12 = (jnp.asarray(w12b[0]), jnp.asarray(w12b[1]),
+           jnp.asarray(corr12), jnp.asarray(w12b[3]),
+           jnp.asarray(w12b[4]), jnp.asarray(w12b[5]))
+
+    @jax.jit
+    def step12(acc, *w):
+        return jnp.sum(letkf12(w[0] + acc * 1e-9, *w[1:])) * 1e-12
+
+    progress("config 12: correlated R (Cholesky whitening)...")
+    t12 = _chain_time(step12, w12, reps=50, r1=10, trials=3)
+    emit({"metric": "letkf_correlated_r_grid_points_per_s",
+          "value": round(g12 / t12, 1),
+          "unit": "grid-points/s (full [1000,1000] correlated R, "
+                  "Cholesky-whitened, ens=40, grid=10000, fused1d)"})
+
 
 def main():
     import jax
