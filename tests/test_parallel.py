@@ -123,3 +123,36 @@ def test_shard_state_roundtrip(mesh, rng):
 def test_2d_mesh_construction():
     mesh = make_forecast_analysis_mesh(2, 4)
     assert mesh.shape == {"ens": 2, "grid": 4}
+
+
+def test_lienks_step_auto_shards(mesh, rng):
+    """The jitted localized-IEnKS smoother (analysis.make_lienks_step)
+    is pure jnp, so it auto-partitions under pjit with a grid-sharded
+    state — GSPMD inserts the L96 halo collectives for the forecast
+    rolls and keeps the per-column solve local. Sharded == local to
+    1e-10 (the iterative-smoother family's multi-chip path)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpu_assim.analysis import make_lienks_step
+    from tpu_assim.models import Lorenz96, RK4Integrator
+
+    g, k, n_int = 64, 10, 3
+    integ = RK4Integrator(Lorenz96(), dt=0.05)
+    state = jnp.asarray(rng.normal(size=(k, g)) + 2.0)
+    obs_idx = jnp.arange(0, g, 2, dtype=jnp.int32)
+    obs_vals = jnp.asarray(rng.normal(size=g // 2))
+    obs_var = jnp.full((g // 2,), 0.5)
+    grid_coords = jnp.arange(g, dtype=float)[:, None]
+    obs_coords = grid_coords[obs_idx]
+    loc = GaspariCohn((4.0,), dummy_distance)
+    step = make_lienks_step(loc, integ, n_int, n_outer=2, tau=0.8,
+                            max_obs=18, selection="window")
+    local = step(state, obs_vals, obs_var, obs_idx, grid_coords,
+                 obs_coords)
+
+    sh = NamedSharding(mesh, P(None, "grid"))
+    state_sh = jax.device_put(state, sh)
+    out_sh = step(state_sh, obs_vals, obs_var, obs_idx, grid_coords,
+                  obs_coords)
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(local),
+                               atol=1e-10, rtol=1e-10)
