@@ -93,10 +93,12 @@ def eigh_svd_jacobi(
     docstring), while the two-sided eigh kernel must rotate rows AND
     columns of A, paying ~6 full-tensor lane ops per round for the
     axis-1 permutation alone. Measured at [10^4, 40, 40] f32 random SPD
-    on v5e: 103 ms vs 171 ms for :func:`eigh_jacobi` (9.9x XLA's
-    1017 ms) at equal-or-better quality — V is a pure product of plane
-    rotations, so its orthogonality (~1e-5 compiled) never degrades with
-    conditioning (scripts/validate_eigh_svd.py).
+    on v5e: 115 ms vs 212 ms for :func:`eigh_jacobi` (8.5x XLA's 982 ms;
+    per-call-sync timing — steady-state chained slopes run ~40% lower
+    for all of these) at better quality (reconstruction 2.6e-5 vs
+    1.1e-4 relative) — V is a pure product of plane rotations, so its
+    orthogonality (~1e-5 compiled) never degrades with conditioning
+    (scripts/validate_eigh_svd.py).
 
     Contract: :func:`jnp.linalg.eigh` conventions (ascending eigenvalues,
     eigenvector columns, signs arbitrary) for PSD inputs — the
