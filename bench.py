@@ -599,13 +599,42 @@ def run_all_configs():
             "kg,gkm->mg", state - sm[None, :], weights, precision=hp)
         return jnp.sum(out) * 1e-12
 
-    progress("config 11: localized KETKF (window neighborhoods)...")
+    progress("config 11: localized KETKF (eigh weights)...")
     t11 = _chain_time(step11, w11, reps=20, r1=4, trials=3)
+
+    # the fused vector-only Chebyshev path (round 5): no [g, k, k]
+    # weights, no eigendecomposition — ops/ketkf.py:ketkf_cheb_analysis
+    # via the class-API solve (interface/lketkf.py)
+    from tpu_assim.interface.lketkf import _lketkf_cheb_analysis
+
+    @jax.jit
+    def step11c(acc, *w):
+        state = w[0] + acc * 1e-9
+        ens_obs = jnp.take(state, w[3], axis=-1)
+        rcinv = 1.0 / jnp.sqrt(w[2])
+        mean = jnp.mean(ens_obs, axis=0, keepdims=True)
+        perts = (ens_obs - mean) * rcinv
+        innov = (w[1] - mean[0]) * rcinv
+        gi = jnp.concatenate(
+            [jnp.zeros((w[4].shape[0], 1), w[4].dtype), w[4]], axis=1)
+        oi = jnp.concatenate(
+            [jnp.zeros((w[5].shape[0], 1), w[5].dtype), w[5]], axis=1)
+        out = _lketkf_cheb_analysis(
+            loc11, None, nb11, "window", True, 10, kern11,
+            perts, innov, gi, oi, jnp.asarray(1.1, perts.dtype),
+            state[None, None],
+        )
+        return jnp.sum(out) * 1e-12
+
+    progress("config 11b: localized KETKF (fused Chebyshev)...")
+    t11c = _chain_time(step11c, w11, reps=100, r1=20, trials=3)
     emit({"metric": "lketkf_grid_points_per_s",
-          "value": round(g11 / t11, 1),
+          "value": round(g11 / t11c, 1),
           "unit": "grid-points/s (localized KETKF, Gauss kernel, ens=40, "
                   "grid=10000, obs=1000, GC r=20, window neighborhoods, "
-                  "Pallas one-sided eigh)"})
+                  "fused vector-only Chebyshev — no weights, no eigh)",
+          "eigh_weights_grid_points_per_s": round(g11 / t11, 1),
+          "vs_eigh_weights": round(t11 / t11c, 2)})
 
     # -- config 12: correlated observation errors (full [o, o] R) ---------
     # The reference's correlated-R contract (observation.py:249-250

@@ -635,3 +635,69 @@ class TestMakeLIEnKSStep:
         fit_post = float(jnp.sqrt(jnp.mean(
             (jnp.mean(prop(ana0), 0)[obs_idx] - obs_vals) ** 2)))
         assert fit_post < 0.7 * fit_prior, (fit_prior, fit_post)
+
+
+class TestLKETKFCheb:
+    """LKETKF(method='cheb'): the fused kernelized solve+apply (vector-only
+    Chebyshev on the centered kernel Gram, no [g, k, k] weights, no
+    eigendecomposition) equals the eigh weight path through assimilate()."""
+
+    @pytest.mark.parametrize("kernel_cls", [LinearKernel, GaussKernel])
+    @pytest.mark.parametrize("selection", ["topk", "window"])
+    def test_cheb_matches_eigh(self, state, obs, kernel_cls, selection):
+        loc = GaspariCohn((8.0,), dummy_distance)
+        exact = LKETKF(
+            localization=loc, kernel=kernel_cls(), inf_factor=1.1,
+            chunksize=None, max_obs=34, selection=selection,
+        ).assimilate(state, obs)
+        cheb = LKETKF(
+            localization=loc, kernel=kernel_cls(), inf_factor=1.1,
+            chunksize=None, max_obs=34, selection=selection,
+            method="cheb",
+        ).assimilate(state, obs)
+        np.testing.assert_allclose(
+            np.asarray(cheb.data), np.asarray(exact.data),
+            atol=1e-6, rtol=1e-6,
+        )
+
+    def test_cheb_dense_taper_matches_eigh(self, state, obs):
+        """No max_obs: the dense-taper branch of the fused path."""
+        loc = GaspariCohn((8.0,), dummy_distance)
+        exact = LKETKF(localization=loc, kernel=GaussKernel(),
+                       inf_factor=1.1, chunksize=None).assimilate(state, obs)
+        cheb = LKETKF(localization=loc, kernel=GaussKernel(),
+                      inf_factor=1.1, chunksize=None,
+                      method="cheb").assimilate(state, obs)
+        np.testing.assert_allclose(np.asarray(cheb.data),
+                                   np.asarray(exact.data),
+                                   atol=1e-6, rtol=1e-6)
+
+    def test_cheb_chunked_equals_unchunked(self, state, obs):
+        loc = GaspariCohn((8.0,), dummy_distance)
+        full = LKETKF(localization=loc, kernel=GaussKernel(),
+                      inf_factor=1.1, chunksize=None, max_obs=34,
+                      method="cheb").assimilate(state, obs)
+        chunked = LKETKF(localization=loc, kernel=GaussKernel(),
+                         inf_factor=1.1, chunksize=13, max_obs=34,
+                         method="cheb").assimilate(state, obs)
+        np.testing.assert_allclose(np.asarray(chunked.data),
+                                   np.asarray(full.data),
+                                   atol=1e-10, rtol=1e-10)
+
+    def test_cheb_rejects_weight_save(self):
+        with pytest.raises(ValueError, match="materializes"):
+            LKETKF(method="cheb", weight_save_path="/tmp/w.h5")
+
+    def test_weight_request_on_cheb_instance_is_exact(self, state, obs):
+        loc = GaspariCohn((8.0,), dummy_distance)
+        a_cheb = LKETKF(localization=loc, kernel=GaussKernel(),
+                        inf_factor=1.1, chunksize=None, method="cheb")
+        a_eigh = LKETKF(localization=loc, kernel=GaussKernel(),
+                        inf_factor=1.1, chunksize=None)
+        sliced = state.sel_time_index(state.time_index(None))
+        obs_t = obs.sel_time(float(state.times[-1]))
+        eo, filt = a_cheb._apply_obs_operator(sliced, [obs_t])
+        w_c = a_cheb.estimate_weights(sliced, filt, eo)
+        w_e = a_eigh.estimate_weights(sliced, filt, eo)
+        np.testing.assert_allclose(np.asarray(w_c), np.asarray(w_e),
+                                   atol=1e-10, rtol=1e-10)
