@@ -393,3 +393,46 @@ class TestSVDCompiled:
         assert np.abs(rec - a64).max() < 5e-4 * scale
         orth = np.einsum("bki,bkj->bij", vec, vec)
         assert np.abs(orth - np.eye(k)).max() < 2e-5
+
+
+class TestLKETKFChebCompiled:
+    """LKETKF(method='cheb') — the fused vector-only Chebyshev kernelized
+    analysis — vs the eigh weight path, both compiled on chip (CPU suite
+    covers f64; the bench-measured compiled parity is ~7e-6)."""
+
+    @if_tpu_decorator
+    def test_cheb_matches_eigh_compiled(self, rng):
+        import jax.numpy as jnp
+
+        from tpu_assim import EnsembleState, LKETKF, Observation
+        from tpu_assim.ops.kernels import GaussKernel
+        from tpu_assim.ops.localization import GaspariCohn
+        from tpu_assim.testing import dummy_distance, dummy_obs_operator
+
+        g, k = 256, 10
+        data = rng.randn(1, 1, k, g).astype("f4")
+        state = EnsembleState(
+            jnp.asarray(data), times=jnp.asarray([0.0], jnp.float32),
+            grid_coords=jnp.asarray(np.arange(g, dtype="f4"))[:, None],
+        )
+        truth = np.asarray(state.data[0].mean(axis=1))
+        obs_vals = truth + rng.normal(scale=0.5, size=truth.shape)
+        obs = Observation(
+            jnp.asarray(obs_vals.astype("f4")),
+            covariance=jnp.full((g,), np.float32(0.5)),
+            obs_coords=state.grid_coords, times=state.times,
+            operator=dummy_obs_operator(),
+        )
+        loc = GaspariCohn((8.0,), dummy_distance)
+        exact = LKETKF(localization=loc, kernel=GaussKernel(),
+                       inf_factor=1.1, chunksize=None, max_obs=34,
+                       selection="window").assimilate(state, obs)
+        cheb = LKETKF(localization=loc, kernel=GaussKernel(),
+                      inf_factor=1.1, chunksize=None, max_obs=34,
+                      selection="window",
+                      method="cheb").assimilate(state, obs)
+        a = np.asarray(cheb.data, "f8")
+        b = np.asarray(exact.data, "f8")
+        assert np.isfinite(a).all()
+        scale = max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a, b, atol=5e-5 * scale, rtol=0)

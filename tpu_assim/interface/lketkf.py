@@ -112,6 +112,10 @@ def _lketkf_gram_trace_bound(
     def chunk_fn(grid_chunk):
         if localization is not None and max_obs is not None:
             if selection == "window":
+                # strict=False HERE deliberately: this pass only sizes the
+                # Chebyshev degree; a max_obs overflow would NaN-poison
+                # the measured bound (and then the degree) while the
+                # SOLVE pass enforces strictness on the analysis itself
                 idx, w_nbh = neighborhood_select_window(
                     localization, grid_chunk, obs_info, max_obs,
                     strict=False,
