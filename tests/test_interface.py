@@ -701,3 +701,18 @@ class TestLKETKFCheb:
         w_e = a_eigh.estimate_weights(sliced, filt, eo)
         np.testing.assert_allclose(np.asarray(w_c), np.asarray(w_e),
                                    atol=1e-10, rtol=1e-10)
+
+    def test_cheb_smoother_mode(self, state, obs):
+        """Smoother mode: ns = n_var * n_time slices share the per-column
+        kernelized Chebyshev solve; stacked multi-time obs."""
+        loc = GaspariCohn((8.0,), dummy_distance)
+        exact = LKETKF(localization=loc, kernel=GaussKernel(),
+                       inf_factor=1.1, chunksize=None, max_obs=90,
+                       smoother=True).assimilate(state, obs)
+        cheb = LKETKF(localization=loc, kernel=GaussKernel(),
+                      inf_factor=1.1, chunksize=None, max_obs=90,
+                      smoother=True, method="cheb").assimilate(state, obs)
+        assert cheb.n_times == state.n_times
+        np.testing.assert_allclose(np.asarray(cheb.data),
+                                   np.asarray(exact.data),
+                                   atol=1e-6, rtol=1e-6)
